@@ -189,22 +189,23 @@ def detect_cycles_positive_peaks(
     t_peaks = jnp.where(slot_p < n_peaks, rep_t[order], jnp.nan)
 
     # Intervals between consecutive kept peaks (optical_PC1.py:224-228).
-    T = t_peaks[1:] - t_peaks[:-1]
+    T = t_peaks[1:] - t_peaks[:-1]                  # (n-2,)
     tm = 0.5 * (t_peaks[1:] + t_peaks[:-1])
-    slot = jnp.arange(n - 1)
+    slot = jnp.arange(n - 2)
     iv_valid = (slot + 1 < n_peaks) & (n_peaks >= 2)
     iv_valid = iv_valid & jnp.isfinite(T) & (T > 0)
     n_iv = jnp.sum(iv_valid.astype(jnp.int32))
-    comp = jnp.nonzero(iv_valid, size=n - 1, fill_value=0)[0]
-    T_c = jnp.where(jnp.arange(n - 1) < n_iv, T[comp], jnp.nan)
-    tm_c = jnp.where(jnp.arange(n - 1) < n_iv, tm[comp], jnp.nan)
+    comp = jnp.nonzero(iv_valid, size=n - 2, fill_value=0)[0]
+    T_c = jnp.where(slot < n_iv, T[comp], jnp.nan)
+    tm_c = jnp.where(slot < n_iv, tm[comp], jnp.nan)
 
     pad1 = jnp.full((1,), jnp.nan, dt)
+    pad2 = jnp.full((2,), jnp.nan, dt)
     return PeakResult(
         pc1_s=pc1_s,
-        t_peaks=jnp.concatenate([t_peaks, pad1]),
+        t_peaks=jnp.concatenate([t_peaks, pad1]),  # capacity n
         n_peaks=n_peaks,
-        tm=jnp.concatenate([tm_c, pad1]),
-        T=jnp.concatenate([T_c, pad1]),
+        tm=jnp.concatenate([tm_c, pad2]),          # capacity n
+        T=jnp.concatenate([T_c, pad2]),
         n_intervals=n_iv,
     )
