@@ -1,0 +1,130 @@
+"""Benchmark: ROI-frames/sec (flow + PCA) on TPU vs OpenCV-CPU baseline.
+
+BASELINE.md primary metric.  The workload is config 1 of BASELINE.json:
+640×480@30fps frames, one upper-limb ROI, Farnebäck flow with the
+reference FB_PARAMS → body-axis projection → ROI mean → band-pass +
+sliding-window PCA.  The denominator is the reference's own compute
+path (cv2.calcOpticalFlowFarneback per frame pair, single CPU process)
+measured on the same clip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+H, W = 480, 640
+N_PAIRS = 192          # TPU-timed pairs
+CHUNK = 32             # frame pairs per device batch
+CPU_PAIRS = 12         # OpenCV-CPU pairs for the denominator
+
+
+def render_clip(n_frames, h=H, w=W, fps=30.0, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_frames) / fps
+    cx = w * 0.5 + 40 * np.exp(-0.05 * t) * np.sin(2 * np.pi * 3.0 * t)
+    cy = h * 0.5 + 18 * np.exp(-0.05 * t) * np.cos(2 * np.pi * 2.9 * t)
+    yy, xx = np.mgrid[0:h, 0:w]
+    texture = rng.normal(0, 6, (h, w))
+    frames = np.empty((n_frames, h, w), np.uint8)
+    for i in range(n_frames):
+        blob = 150 * np.exp(-(((xx - cx[i]) / 30.0) ** 2 + ((yy - cy[i]) / 26.0) ** 2))
+        frames[i] = np.clip(40 + texture + blob, 0, 255).astype(np.uint8)
+    return frames
+
+
+def main():
+    frames = render_clip(N_PAIRS + 1)
+    roi = np.array([[140.0, 90.0], [520.0, 110.0], [500.0, 400.0], [120.0, 380.0]])
+    theta = 0.3
+    ex = np.tile(np.array([np.cos(theta), -np.sin(theta)], np.float32), (CHUNK, 1))
+    ey = np.tile(np.array([np.sin(theta), np.cos(theta)], np.float32), (CHUNK, 1))
+
+    # ---- OpenCV-CPU denominator (the reference compute path) ----------
+    cpu_fps = None
+    try:
+        import cv2
+
+        mask = np.zeros((H, W), np.uint8)
+        cv2.fillPoly(mask, [roi.astype(np.int32)], 1)
+        maskb = mask.astype(bool)
+        fb = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3,
+                  poly_n=5, poly_sigma=1.2, flags=0)
+        # warmup
+        cv2.calcOpticalFlowFarneback(frames[0], frames[1], None, **fb)
+        t0 = time.perf_counter()
+        for i in range(1, CPU_PAIRS + 1):
+            fl = cv2.calcOpticalFlowFarneback(frames[i - 1], frames[i], None, **fb)
+            fxb = fl[..., 0] * ex[0, 0] + fl[..., 1] * ex[0, 1]
+            fyb = fl[..., 0] * ey[0, 0] + fl[..., 1] * ey[0, 1]
+            mg = cv2.magnitude(fxb, fyb)
+            _ = (np.nanmean(fxb[maskb]), np.nanmean(fyb[maskb]), np.nanmean(mg[maskb]))
+        cpu_fps = CPU_PAIRS / (time.perf_counter() - t0)
+    except Exception as e:  # pragma: no cover
+        print(f"# cv2 baseline unavailable: {e}", file=sys.stderr)
+
+    # ---- TPU path -----------------------------------------------------
+    import jax
+    import jax.numpy as jnp
+
+    from btcs_pnes_optical_flow_tpu.config import PipelineConfig
+    from btcs_pnes_optical_flow_tpu.models.flow import roi_body_flow
+    from btcs_pnes_optical_flow_tpu.models.pc1 import pc1_from_flow
+    from btcs_pnes_optical_flow_tpu.ops.cvx import fill_poly_mask
+
+    cfg = PipelineConfig()
+    masks = jnp.asarray(fill_poly_mask(H, W, roi)[None])
+    exd = jnp.asarray(ex)
+    eyd = jnp.asarray(ey)
+
+    chunks = []
+    for s in range(0, N_PAIRS, CHUNK):
+        chunks.append(
+            (jnp.asarray(frames[s : s + CHUNK]), jnp.asarray(frames[s + 1 : s + CHUNK + 1]))
+        )
+
+    def force(tree):
+        # jax.block_until_ready is unreliable through the axon tunnel;
+        # a host transfer is an unambiguous completion fence.
+        return [np.asarray(x) for x in jax.tree.leaves(tree)]
+
+    # Warmup / compile.
+    out = roi_body_flow(chunks[0][0], chunks[0][1], exd, eyd, masks, cfg.flow)
+    force(out)
+
+    t0 = time.perf_counter()
+    feats = [roi_body_flow(p, c, exd, eyd, masks, cfg.flow) for p, c in chunks]
+    host = [force(f) for f in feats]
+    flow_time = time.perf_counter() - t0
+
+    vx = jnp.concatenate([jnp.full((1,), jnp.nan)] + [f.vx[:, 0] for f in feats])
+    vy = jnp.concatenate([jnp.full((1,), jnp.nan)] + [f.vy[:, 0] for f in feats])
+    pc1 = pc1_from_flow(vx, vy, cfg.pca)
+    force(pc1)  # compile
+    t0 = time.perf_counter()
+    pc1 = pc1_from_flow(vx, vy, cfg.pca)
+    force(pc1)
+    pca_time = time.perf_counter() - t0
+
+    tpu_fps = N_PAIRS / (flow_time + pca_time)
+    vs = (tpu_fps / cpu_fps) if cpu_fps else float("nan")
+    dev = jax.devices()[0].platform
+    print(
+        json.dumps(
+            {
+                "metric": f"ROI-frames/sec flow+PCA 640x480 ({dev})",
+                "value": round(tpu_fps, 2),
+                "unit": "frames/sec",
+                "vs_baseline": round(vs, 2) if vs == vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

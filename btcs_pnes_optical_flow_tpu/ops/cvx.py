@@ -65,26 +65,36 @@ def pad_reflect101(img: jnp.ndarray, py: int, px: int) -> jnp.ndarray:
 def corr1d(img: jnp.ndarray, kernel: np.ndarray, axis: int) -> jnp.ndarray:
     """1-D correlation along `axis` (-1 or -2) of a pre-padded image.
 
-    The kernel is a static host-side array; the correlation unrolls into
-    shift-adds, which XLA fuses into a single VPU loop.  Output is
-    'VALID' (input must be padded by len(kernel)//2 on each side).
+    The kernel is a static host-side array.  Lowered to a single XLA
+    convolution (XLA convs are cross-correlations — no kernel flip),
+    which the TPU backend tiles natively; one op per pass keeps the HLO
+    small (an unrolled shift-add version compiled ~10× slower for the
+    11/15-tap stencils used here).  Output is 'VALID' (input must be
+    padded by len(kernel)//2 on each side).
     """
-    k = len(kernel)
-    n = img.shape[axis] - (k - 1)
-    out = None
-    for i, w in enumerate(kernel):
-        w = float(w)
-        if w == 0.0:
-            continue
-        sl = [slice(None)] * img.ndim
-        sl[axis] = slice(i, i + n)
-        term = img[tuple(sl)] * w
-        out = term if out is None else out + term
-    if out is None:
-        sl = [slice(None)] * img.ndim
-        sl[axis] = slice(0, n)
-        out = img[tuple(sl)] * 0.0
-    return out
+    karr = np.asarray(kernel, dtype=np.float64)
+    klen = len(karr)
+    if klen == 1:
+        return img * float(karr[0])
+    axis = axis % img.ndim
+    lead = img.shape[: img.ndim - 2]
+    h, w = img.shape[-2], img.shape[-1]
+    x = img.reshape((-1, 1, h, w))
+    if axis == img.ndim - 2:
+        rhs = karr.reshape(1, 1, klen, 1)
+    else:
+        rhs = karr.reshape(1, 1, 1, klen)
+    y = jax.lax.conv_general_dilated(
+        x,
+        jnp.asarray(rhs, img.dtype),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        # TPU convs default to bf16 MXU passes; the stencils must stay
+        # fp32 to hold the <0.1 px differential-EPE contract.
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return y.reshape(lead + y.shape[-2:])
 
 
 def sep_corr_replicate(img: jnp.ndarray, kv: np.ndarray, kh: np.ndarray) -> jnp.ndarray:

@@ -11,9 +11,16 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: the ambient environment may carry an empty or
+# tpu value, which would silently run the whole suite over the device
+# tunnel (slow, and without the 8 virtual devices).
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
+
+# The axon device plugin overrides JAX_PLATFORMS at import time; the
+# config knob set post-import wins.
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: compile-bound test times drop massively
 # on repeat runs (single-core host; each XLA compile is tens of seconds).

@@ -232,3 +232,38 @@ def ref_metrics(t_all, pc1_all, window_sec=10.0, smooth_sec=0.2):
         "Peak_n": int(t_peaks.size),
         "fs": fs,
     }
+
+
+# --- optical_flow.py behavior (stage A oracle; uses OpenCV directly) ---------
+
+def ref_flow_stage(frames_gray_u8, time_all, fps, ex_all, ey_all, roi_mask,
+                   pos_msec=None):
+    """Per-frame flow feature loop (optical_flow.py:195-259) with cv2."""
+    import cv2
+
+    fb = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3,
+              poly_n=5, poly_sigma=1.2, flags=0)
+    rows = []
+    prev = None
+    for i, gray in enumerate(frames_gray_u8):
+        if pos_msec is not None and pos_msec[i] is not None and pos_msec[i] > 0:
+            t = float(pos_msec[i]) / 1000.0
+        else:
+            t = i / float(fps)
+        si = int(np.clip(np.searchsorted(time_all, t, side="right") - 1, 0, len(time_all) - 1))
+        ex, ey = ex_all[si], ey_all[si]
+        ok = bool(np.isfinite(ex).all() and np.isfinite(ey).all())
+        vx = vy = mag = np.nan
+        if ok and prev is not None:
+            fl = cv2.calcOpticalFlowFarneback(prev, gray, None, **fb)
+            fxb = fl[..., 0] * float(ex[0]) + fl[..., 1] * float(ex[1])
+            fyb = fl[..., 0] * float(ey[0]) + fl[..., 1] * float(ey[1])
+            mg = cv2.magnitude(fxb, fyb)
+            vx = float(np.nanmean(fxb[roi_mask]))
+            vy = float(np.nanmean(fyb[roi_mask]))
+            mag = float(np.nanmean(mg[roi_mask]))
+        rows.append([i, t, si, int(ok), vx, vy, mag])
+        prev = gray
+    import pandas as pd
+    return pd.DataFrame(rows, columns=["frame", "t_sec", "skel_idx", "axes_ok",
+                                       "vx_body", "vy_body", "mag_body"])

@@ -1,0 +1,92 @@
+"""IO layer tests: native C++ loader, prefetcher, checkpoint/resume."""
+
+import numpy as np
+import pytest
+
+from btcs_pnes_optical_flow_tpu.dataio.checkpoint import ChunkStore
+from btcs_pnes_optical_flow_tpu.dataio.video import ArraySource, ChunkPrefetcher
+
+
+def test_native_source_gray_exact(tmp_path, rng):
+    from btcs_pnes_optical_flow_tpu.dataio.native import NativeSource
+
+    g = rng.integers(0, 256, (12, 32, 40)).astype(np.uint8)
+    p = str(tmp_path / "g.npy")
+    np.save(p, g)
+    src = NativeSource(p, fps=30)
+    got = np.stack([f for f, _ in src.frames()])
+    np.testing.assert_array_equal(got, g)
+    np.testing.assert_array_equal(src.read(5), g[5])
+    src.close()
+
+
+def test_native_source_bgr_matches_jax_gray(tmp_path, rng):
+    import jax.numpy as jnp
+
+    from btcs_pnes_optical_flow_tpu.dataio.native import NativeSource
+    from btcs_pnes_optical_flow_tpu.ops.cvx import bgr2gray_u8
+
+    b = rng.integers(0, 256, (6, 24, 30, 3)).astype(np.uint8)
+    p = str(tmp_path / "b.npy")
+    np.save(p, b)
+    want = np.asarray(bgr2gray_u8(jnp.asarray(b)))
+    src = NativeSource(p, fps=25)
+    got = np.stack([f for f, _ in src.frames()])
+    np.testing.assert_array_equal(got, want)
+    src.close()
+
+
+def test_prefetcher_chunking(rng):
+    frames = rng.integers(0, 256, (23, 8, 8)).astype(np.uint8)
+    src = ArraySource(frames, fps=30.0)
+    seen_pairs = []
+    for first, chunk, pos in ChunkPrefetcher(src, chunk_pairs=5):
+        for i in range(1, len(chunk)):
+            seen_pairs.append(first + i)
+            np.testing.assert_array_equal(chunk[i], frames[first + i])
+            np.testing.assert_array_equal(chunk[i - 1], frames[first + i - 1])
+    assert seen_pairs == list(range(1, 23))
+
+
+def test_chunk_store_roundtrip(tmp_path, rng):
+    store = ChunkStore(str(tmp_path / "ck"), meta={"chunk_pairs": 4})
+    store.save(0, vx=np.arange(4.0), vy=np.zeros(4))
+    store.save(4, vx=np.arange(4.0) + 4, vy=np.ones(4))
+    assert store.completed_chunks() == [0, 4]
+    assert store.has(4) and not store.has(8)
+    got = store.load(4)
+    np.testing.assert_array_equal(got["vx"], np.arange(4.0) + 4)
+    # Meta mismatch must refuse to resume.
+    with pytest.raises(ValueError):
+        ChunkStore(str(tmp_path / "ck"), meta={"chunk_pairs": 8})
+
+
+def test_flow_stage_resume(tmp_path, rng, monkeypatch):
+    """Second run with a checkpoint dir must not recompute chunks."""
+    from btcs_pnes_optical_flow_tpu.dataio import contracts
+    from btcs_pnes_optical_flow_tpu.models import pipeline
+    from tests.test_pipeline import ROI, make_skeleton, render_clip
+
+    clip = render_clip(n_frames=40)
+    skel = make_skeleton(len(clip))
+    ck = str(tmp_path / "ck")
+    a = pipeline.run_flow_stage(
+        ArraySource(clip, fps=30.0), skel, [ROI], chunk_pairs=16, checkpoint_dir=ck
+    )
+    calls = []
+    import btcs_pnes_optical_flow_tpu.models.pipeline as pl
+
+    real = pl.roi_body_flow
+
+    def spy(*args, **kw):
+        calls.append(1)
+        return real(*args, **kw)
+
+    monkeypatch.setattr(pl, "roi_body_flow", spy)
+    b = pipeline.run_flow_stage(
+        ArraySource(clip, fps=30.0), skel, [ROI], chunk_pairs=16, checkpoint_dir=ck
+    )
+    assert not calls, "flow recomputed despite checkpoints"
+    fin = np.isfinite(a.vx)
+    np.testing.assert_array_equal(fin, np.isfinite(b.vx))
+    np.testing.assert_allclose(a.vx[fin], b.vx[fin], atol=0)
