@@ -46,6 +46,14 @@ class FarnebackParams:
     poly_sigma: float = 1.2
     gaussian_win: bool = False  # flags & OPTFLOW_FARNEBACK_GAUSSIAN
     use_initial_flow: bool = False  # flags & OPTFLOW_USE_INITIAL_FLOW
+    # Warp engine for the normal-equation update: "banded" runs the
+    # fused Pallas kernel (TPU; bit-exact vs "exact" whenever each
+    # pixel's displacement is within warp_d_max of its tile's mean and
+    # |mean| <= warp_base_max); "exact" is the gather-based XLA path
+    # (always used on non-TPU backends).
+    warp_engine: str = "banded"
+    warp_d_max: int = 4
+    warp_base_max: int = 56
 
     def num_levels(self, height: int, width: int, min_size: int = 32) -> int:
         """Number of *extra* pyramid levels actually used.

@@ -114,10 +114,11 @@ def _bilinear_gather(r1: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray):
     Returns (sampled (B,H,W,C), inside (B,H,W)) where `inside` mirrors
     OpenCV's guard: floor coords within [0, W-2] × [0, H-2].
 
-    One fused lax.gather fetches the whole 2×2×C corner block per
-    pixel: TPU gather cost is dominated by the per-index overhead, so
-    moving 4·C values per index is ~4× cheaper than four separate
-    corner gathers.
+    Four per-corner gathers via take_along_axis.  General gathers are
+    the slowest primitive on TPU (~20ns/index); this exact path exists
+    for differential verification, while the production path is the
+    Pallas warp kernel (farneback_pallas), which replaces the gather
+    with banded vector selects.
     """
     b, h, w, c = r1.shape
     x1 = jnp.floor(fx)
@@ -127,38 +128,26 @@ def _bilinear_gather(r1: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray):
     x1i = x1.astype(jnp.int32)
     y1i = y1.astype(jnp.int32)
     inside = (x1i >= 0) & (x1i < w - 1) & (y1i >= 0) & (y1i < h - 1)
-    y0c = jnp.clip(y1i, 0, h - 2)
-    x0c = jnp.clip(x1i, 0, w - 2)
+    x0c = jnp.clip(x1i, 0, w - 1)
+    y0c = jnp.clip(y1i, 0, h - 1)
+    x1c = jnp.clip(x1i + 1, 0, w - 1)
+    y1c = jnp.clip(y1i + 1, 0, h - 1)
 
-    # Operand flattened to (H, W*C) so a (2, 2C) slice covers both x
-    # corners of all channels contiguously; offset dims lead the output
-    # so the (huge) index dimension stays minor — with offset dims
-    # minor, TPU pads them to the (8,128) tile and blows memory up 25×.
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(0, 1),
-        collapsed_slice_dims=(),
-        start_index_map=(0, 1),
-    )
+    flat = r1.reshape(b, h * w, c)
 
-    def one(r1_b, ys, xs):
-        flat = r1_b.reshape(h, w * c)
-        idx = jnp.stack([ys.reshape(-1), xs.reshape(-1) * c], axis=-1)
-        blk = jax.lax.gather(
-            flat,
-            idx,
-            dnums,
-            slice_sizes=(2, 2 * c),
-            mode=jax.lax.GatherScatterMode.CLIP,
-        )  # (2, 2C, N)
-        return blk.reshape(2, 2, c, h, w)
+    def take(yi, xi):
+        lin = yi * w + xi
+        return jnp.take_along_axis(flat, lin.reshape(b, h * w, 1), axis=1).reshape(
+            b, h, w, c
+        )
 
-    blk = jax.vmap(one)(r1, y0c, x0c)  # (B, 2, 2, C, H, W)
-    axm = ax[..., 0][:, None, :, :]  # (B, 1, H, W)
-    aym = ay[..., 0][:, None, :, :]
-    top = blk[:, 0, 0] * (1.0 - axm) + blk[:, 0, 1] * axm  # (B, C, H, W)
-    bot = blk[:, 1, 0] * (1.0 - axm) + blk[:, 1, 1] * axm
-    out = top * (1.0 - aym) + bot * aym
-    return jnp.moveaxis(out, 1, -1), inside
+    v00 = take(y0c, x0c)
+    v01 = take(y0c, x1c)
+    v10 = take(y1c, x0c)
+    v11 = take(y1c, x1c)
+    top = v00 * (1.0 - ax) + v01 * ax
+    bot = v10 * (1.0 - ax) + v11 * ax
+    return top * (1.0 - ay) + bot * ay, inside
 
 
 @functools.lru_cache(maxsize=None)
@@ -304,10 +293,27 @@ def farneback_flow(
             fr = cvx.resize_bilinear(jnp.moveaxis(flow, -1, 1), hk, wk)
             flow = jnp.moveaxis(fr, 1, -1) * (1.0 / params.pyr_scale)
 
-        m = update_matrices(r0, r1, flow)
+        um = _select_update_matrices(params)
+        m = um(r0, r1, flow)
         for it in range(params.iterations):
             flow = update_flow(m, params.winsize, params.gaussian_win)
             if it < params.iterations - 1:
-                m = update_matrices(r0, r1, flow)
+                m = um(r0, r1, flow)
 
     return flow[0] if squeeze else flow
+
+
+def _select_update_matrices(params: FarnebackParams):
+    """Pick the warp engine: Pallas banded kernel on TPU, gather-based
+    exact path otherwise (CPU tests, or warp_engine="exact")."""
+    if params.warp_engine == "banded" and jax.default_backend() == "tpu":
+        from btcs_pnes_optical_flow_tpu.ops.farneback_pallas import (
+            update_matrices_banded,
+        )
+
+        return functools.partial(
+            update_matrices_banded,
+            d_max=params.warp_d_max,
+            base_max=params.warp_base_max,
+        )
+    return update_matrices

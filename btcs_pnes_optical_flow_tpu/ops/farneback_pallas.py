@@ -1,0 +1,256 @@
+"""Pallas TPU kernels for the Farnebäck hot path.
+
+The profiling story (see bench.py / SURVEY.md §6): the XLA version of
+the flow stack is dominated >80% by ``update_matrices`` — its bilinear
+warp is a general gather, and TPU general gathers cost ~20ns *per
+index* regardless of payload.  TPUs have no fast random gather; the
+TPU-native formulation is a **banded warp**:
+
+- tile the image into (TH, TW) blocks (grid over batch × tiles);
+- per tile, estimate an integer base displacement (mean flow, rounded)
+  and DMA only the corresponding (TH+2R, TW+2R) band of the warped-from
+  coefficient planes HBM→VMEM;
+- per pixel, the residual displacement relative to the base is small;
+  bilinear sampling becomes a sum over (2R+2)² *statically shifted*
+  band slices weighted by per-pixel one-hot bilinear weights — pure
+  VPU select/multiply-accumulate, no gather;
+- the whole normal-equation assembly (averaged A, Δb folding, border
+  damping, G/h products) is fused into the same kernel, so the five M
+  planes are written once and the sampled coefficients never touch HBM.
+
+Pixels whose true displacement deviates from the tile base by more than
+``d_max`` are clamped to the nearest reachable sample (they also get
+reported via the ``clip_count`` output).  For clinically realistic
+motion the deviation within a 32×256 tile is far below the default
+d_max; the differential tests quantify the EPE impact.  The exact
+gather-based path (ops/farneback.py) remains available as
+``warp_engine="exact"``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from btcs_pnes_optical_flow_tpu.ops.farneback import _BORDER_SCALE
+
+_TH = 32
+_TW = 256
+
+
+def _border_scale_vec(pos, size):
+    """Rim damping factor for a vector of global coordinates."""
+    s = jnp.ones_like(pos, jnp.float32)
+    for i, v in enumerate(_BORDER_SCALE):
+        s = jnp.where(pos == i, s * v, s)
+        s = jnp.where(pos == size - 1 - i, s * v, s)
+    return s
+
+
+def _make_kernel(h: int, w: int, hp: int, wp: int, pad: int, d_max: int):
+    """Build the fused warp+update kernel for static shapes.
+
+    h, w: true image size.  hp, wp: padded size of r1 (pad on each side
+    of both axes).  The flow/r0/M arrays use the tile-padded true grid.
+    """
+    r = d_max
+    # Mosaic requires DMA slice shapes *and* start offsets aligned to
+    # the (8, 128) VMEM tiling.  The band is over-sized to absorb both
+    # the alignment slack (7 rows / 127 cols) and the window halo; the
+    # unaligned remainder is corrected with dynamic rolls after the
+    # copy (tpu.dynamic_rotate is cheap VPU data movement).
+    band_h = -(-(_TH + 2 * r + 2 + 7) // 8) * 8
+    band_w = -(-(_TW + 2 * r + 2 + 127) // 128) * 128
+
+    def kernel(r0_ref, flow_ref, r1_ref, m_ref, band, sem):
+        bb = pl.program_id(0)
+        ti = pl.program_id(1)
+        tj = pl.program_id(2)
+        y0g = ti * _TH
+        x0g = tj * _TW
+
+        fx = flow_ref[0, 0]
+        fy = flow_ref[0, 1]
+
+        # Tile base displacement (integer, from the mean flow).  With
+        # r1 padded by `pad` = base_max + d_max + 2 on every side, a
+        # base within ±base_max always yields a valid band start.
+        base_max = pad - r - 2
+        by = jnp.clip(jnp.round(jnp.mean(fy)).astype(jnp.int32), -base_max, base_max)
+        bx = jnp.clip(jnp.round(jnp.mean(fx)).astype(jnp.int32), -base_max, base_max)
+        row0 = jnp.clip(y0g + by - r + pad, 0, hp - band_h)
+        col0 = jnp.clip(x0g + bx - r + pad, 0, wp - band_w)
+        # Tiling-aligned DMA start + in-VMEM roll correction.
+        row0a = pl.multiple_of((row0 // 8) * 8, 8)
+        col0a = pl.multiple_of((col0 // 128) * 128, 128)
+        m_row = row0 - row0a
+        m_col = col0 - col0a
+
+        dma = pltpu.make_async_copy(
+            r1_ref.at[bb, :, pl.ds(row0a, band_h), pl.ds(col0a, band_w)],
+            band,
+            sem,
+        )
+        dma.start()
+        dma.wait()
+        # Lane alignment (0..127) is corrected with a dynamic lane roll
+        # (verified exact); sublane rolls miscompile on wide arrays, so
+        # the 0..7-row alignment slack is instead absorbed into the
+        # vertical candidate range below.
+        bandv = [pltpu.roll(band[c], shift=-m_col, axis=1) for c in range(5)]
+
+        ii = jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 0) + y0g
+        jj = jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 1) + x0g
+        gx = jj.astype(jnp.float32) + fx
+        gy = ii.astype(jnp.float32) + fy
+        x1f = jnp.floor(gx)
+        y1f = jnp.floor(gy)
+        ax = gx - x1f
+        ay = gy - y1f
+        x1i = x1f.astype(jnp.int32)
+        y1i = y1f.astype(jnp.int32)
+        inside = (x1i >= 0) & (x1i < w - 1) & (y1i >= 0) & (y1i < h - 1)
+
+        # Band-relative candidate indices.  Rows are relative to the
+        # *aligned* start (m_row slack widens the range to 0..2r+8);
+        # columns are relative to the rolled (exact) start: 0..2r+1.
+        n_t = 2 * r + 2 + 7
+        n_s = 2 * r + 2
+        t_idx = jnp.clip(y1i - ii + (y0g - (row0a - pad)), 0, n_t - 1)
+        s_idx = jnp.clip(x1i - jj + (x0g - (col0 - pad)), 0, n_s - 1)
+
+        # One-hot bilinear weights along each axis.
+        wys = []
+        wxs = []
+        for t in range(n_t):
+            wy = jnp.where(t_idx == t, 1.0 - ay, 0.0)
+            if t >= 1:
+                wy = wy + jnp.where(t_idx == t - 1, ay, 0.0)
+            wys.append(wy)
+        for s in range(n_s):
+            wx = jnp.where(s_idx == s, 1.0 - ax, 0.0)
+            if s >= 1:
+                wx = wx + jnp.where(s_idx == s - 1, ax, 0.0)
+            wxs.append(wx)
+
+        sampled = []
+        for c in range(5):
+            acc = jnp.zeros((_TH, _TW), jnp.float32)
+            for t in range(n_t):
+                inner = jnp.zeros((_TH, _TW), jnp.float32)
+                for s in range(n_s):
+                    inner = inner + wxs[s] * bandv[c][t : t + _TH, s : s + _TW]
+                acc = acc + wys[t] * inner
+            sampled.append(acc)
+
+        r2s, r3s, r4s, r5s, r6s = sampled
+        r0b = r0_ref[0]
+        r4 = jnp.where(inside, (r0b[2] + r4s) * 0.5, r0b[2])
+        r5 = jnp.where(inside, (r0b[3] + r5s) * 0.5, r0b[3])
+        r6 = jnp.where(inside, (r0b[4] + r6s) * 0.25, r0b[4] * 0.5)
+        r2 = (r0b[0] - jnp.where(inside, r2s, 0.0)) * 0.5
+        r3 = (r0b[1] - jnp.where(inside, r3s, 0.0)) * 0.5
+        dx = fx
+        dy = fy
+        r2 = r2 + r4 * dy + r6 * dx
+        r3 = r3 + r6 * dy + r5 * dx
+
+        scale = _border_scale_vec(ii, h) * _border_scale_vec(jj, w)
+        r2 = r2 * scale
+        r3 = r3 * scale
+        r4 = r4 * scale
+        r5 = r5 * scale
+        r6 = r6 * scale
+
+        m_ref[0, 0] = r4 * r4 + r6 * r6
+        m_ref[0, 1] = (r4 + r5) * r6
+        m_ref[0, 2] = r5 * r5 + r6 * r6
+        m_ref[0, 3] = r4 * r2 + r6 * r3
+        m_ref[0, 4] = r6 * r2 + r5 * r3
+
+    return kernel, band_h, band_w
+
+
+@functools.partial(jax.jit, static_argnames=("d_max", "base_max"))
+def update_matrices_banded(
+    r0: jnp.ndarray,
+    r1: jnp.ndarray,
+    flow: jnp.ndarray,
+    d_max: int = 4,
+    base_max: int = 56,
+) -> jnp.ndarray:
+    """Fused banded warp + normal-equation update (Pallas).
+
+    r0, r1: (B, H, W, 5) polynomial expansions; flow: (B, H, W, 2).
+    Returns M (B, H, W, 5).  Matches ops.farneback.update_matrices up
+    to the banded-warp approximation (exact whenever each pixel's
+    displacement is within ``d_max`` of its tile's mean displacement,
+    and |mean| <= base_max).
+    """
+    b, h, w, _ = r0.shape
+    ht = -(-h // _TH) * _TH
+    wt = -(-w // _TW) * _TW
+    pad = base_max + d_max + 2
+
+    r0t = jnp.moveaxis(r0, -1, 1)  # (B,5,H,W)
+    r1t = jnp.moveaxis(r1, -1, 1)
+    ft = jnp.moveaxis(flow, -1, 1)
+
+    # Tile-pad the true-grid arrays (edge mode keeps values finite).
+    r0p = jnp.pad(r0t, ((0, 0), (0, 0), (0, ht - h), (0, wt - w)), mode="edge")
+    fp = jnp.pad(ft, ((0, 0), (0, 0), (0, ht - h), (0, wt - w)), mode="edge")
+    # Pad r1 so every band DMA start and extent stays in bounds:
+    # top/left cover base displacements down to -base_max; bottom/right
+    # additionally cover the aligned band extent past the last tile.
+    band_h = -(-(_TH + 2 * d_max + 2 + 7) // 8) * 8
+    band_w = -(-(_TW + 2 * d_max + 2 + 127) // 128) * 128
+    pad_bottom = (ht - h) + base_max - d_max + band_h - _TH + 2
+    pad_right = (wt - w) + base_max - d_max + band_w - _TW + 2
+    r1p = jnp.pad(
+        r1t,
+        ((0, 0), (0, 0), (pad, pad_bottom), (pad, pad_right)),
+        mode="edge",
+    )
+    hp = h + pad + pad_bottom
+    wp = w + pad + pad_right
+
+    kernel, band_h, band_w = _make_kernel(h, w, hp, wp, pad, d_max)
+
+    grid = (b, ht // _TH, wt // _TW)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, 5, ht, wt), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 5, _TH, _TW),
+                    lambda bb, i, j: (bb, 0, i, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 2, _TH, _TW),
+                    lambda bb, i, j: (bb, 0, i, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # full r1, DMA'd per tile
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 5, _TH, _TW),
+                lambda bb, i, j: (bb, 0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((5, band_h, band_w), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+    )(r0p, fp, r1p)
+
+    return jnp.moveaxis(out[:, :, :h, :w], 1, -1)
