@@ -275,12 +275,14 @@ def farneback_flow(
     c_f = curr.astype(dt)
 
     klev = params.num_levels(h, w)
+    pe = _select_poly_exp(params)
+    uf = _select_update_flow(params)
     flow = None
     for k in range(klev, -1, -1):
         i0, hk, wk = _level_image(p_f, k, params, h, w)
         i1, _, _ = _level_image(c_f, k, params, h, w)
-        r0 = poly_exp(i0, params.poly_n, params.poly_sigma)
-        r1 = poly_exp(i1, params.poly_n, params.poly_sigma)
+        r0 = pe(i0, params.poly_n, params.poly_sigma)
+        r1 = pe(i1, params.poly_n, params.poly_sigma)
 
         if flow is None:
             if params.use_initial_flow and flow0 is not None:
@@ -296,7 +298,7 @@ def farneback_flow(
         um = _select_update_matrices(params)
         m = um(r0, r1, flow)
         for it in range(params.iterations):
-            flow = update_flow(m, params.winsize, params.gaussian_win)
+            flow = uf(m, params.winsize, params.gaussian_win)
             if it < params.iterations - 1:
                 m = um(r0, r1, flow)
 
@@ -317,3 +319,19 @@ def _select_update_matrices(params: FarnebackParams):
             base_max=params.warp_base_max,
         )
     return update_matrices
+
+
+def _select_poly_exp(params: FarnebackParams):
+    if params.warp_engine == "banded" and jax.default_backend() == "tpu":
+        from btcs_pnes_optical_flow_tpu.ops.farneback_pallas import poly_exp_fused
+
+        return poly_exp_fused
+    return poly_exp
+
+
+def _select_update_flow(params: FarnebackParams):
+    if params.warp_engine == "banded" and jax.default_backend() == "tpu":
+        from btcs_pnes_optical_flow_tpu.ops.farneback_pallas import update_flow_fused
+
+        return update_flow_fused
+    return update_flow

@@ -254,3 +254,201 @@ def update_matrices_banded(
     )(r0p, fp, r1p)
 
     return jnp.moveaxis(out[:, :, :h, :w], 1, -1)
+
+
+# ---------------------------------------------------------------------------
+# Fused polynomial expansion
+# ---------------------------------------------------------------------------
+
+
+def _poly_kernel_factory(g, xg, xxg, igs, n: int):
+    """Build the fused poly-expansion kernel (static taps/Gram factors).
+
+    One band DMA per tile (static, aligned offsets thanks to host
+    padding), then the separable Gaussian-weighted correlations run as
+    statically shifted vector MACs entirely in VMEM — the five
+    coefficient planes are produced in a single pass over the image
+    instead of nine XLA convolutions with materialized intermediates.
+    """
+    ig11, ig03, ig33, ig55 = (float(v) for v in igs)
+    gl = [float(v) for v in g]
+    xgl = [float(v) for v in xg]
+    xxgl = [float(v) for v in xxg]
+    band_h = _TH + 16
+    band_w = _TW + 256
+    row_off = 8 - n   # first tap row inside the band
+    col_off = 128 - n
+
+    def kernel(img_ref, out_ref, band, sem):
+        bb = pl.program_id(0)
+        ti = pl.program_id(1)
+        tj = pl.program_id(2)
+        dma = pltpu.make_async_copy(
+            img_ref.at[bb, pl.ds(ti * _TH, band_h), pl.ds(tj * _TW, band_w)],
+            band,
+            sem,
+        )
+        dma.start()
+        dma.wait()
+
+        # Vertical pass over the full band width.
+        t0 = None
+        t1 = None
+        t2 = None
+        for k in range(2 * n + 1):
+            sl = band[row_off + k : row_off + k + _TH, :]
+            t0 = sl * gl[k] if t0 is None else t0 + sl * gl[k]
+            t1 = sl * xgl[k] if t1 is None else t1 + sl * xgl[k]
+            t2 = sl * xxgl[k] if t2 is None else t2 + sl * xxgl[k]
+
+        # Horizontal pass on the tile columns.
+        b1 = b2 = b3 = b4 = b5 = b6 = None
+        for k in range(2 * n + 1):
+            c = col_off + k
+            s0 = t0[:, c : c + _TW]
+            s1 = t1[:, c : c + _TW]
+            s2 = t2[:, c : c + _TW]
+            b1 = s0 * gl[k] if b1 is None else b1 + s0 * gl[k]
+            b2 = s0 * xgl[k] if b2 is None else b2 + s0 * xgl[k]
+            b4 = s0 * xxgl[k] if b4 is None else b4 + s0 * xxgl[k]
+            b3 = s1 * gl[k] if b3 is None else b3 + s1 * gl[k]
+            b6 = s1 * xgl[k] if b6 is None else b6 + s1 * xgl[k]
+            b5 = s2 * gl[k] if b5 is None else b5 + s2 * gl[k]
+
+        out_ref[0, 0] = b3 * ig11
+        out_ref[0, 1] = b2 * ig11
+        out_ref[0, 2] = b1 * ig03 + b5 * ig33
+        out_ref[0, 3] = b1 * ig03 + b4 * ig33
+        out_ref[0, 4] = b6 * ig55
+
+    return kernel, band_h, band_w
+
+
+@functools.partial(jax.jit, static_argnames=("n", "sigma"))
+def poly_exp_fused(img: jnp.ndarray, n: int = 5, sigma: float = 1.2) -> jnp.ndarray:
+    """Fused Pallas polynomial expansion: (B, H, W) → (B, H, W, 5).
+
+    Matches ops.farneback.poly_exp (replicate borders) to fp precision.
+    """
+    from btcs_pnes_optical_flow_tpu.ops.farneback import _poly_exp_tables
+
+    g, xg, xxg, igs = _poly_exp_tables(n, sigma)
+    b, h, w = img.shape
+    ht = -(-h // _TH) * _TH
+    wt = -(-w // _TW) * _TW
+    # Host padding: 8 rows / 128 cols of halo alignment on the leading
+    # side, halo + tile padding on the trailing side; edge mode
+    # reproduces the replicate border.
+    imgp = jnp.pad(
+        img.astype(jnp.float32),
+        ((0, 0), (8, 8 + ht - h), (128, 128 + wt - w)),
+        mode="edge",
+    )
+    kernel, band_h, band_w = _poly_kernel_factory(g, xg, xxg, igs, n)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, 5, ht, wt), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(b, ht // _TH, wt // _TW),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, 5, _TH, _TW),
+                lambda bb, i, j: (bb, 0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((band_h, band_w), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+    )(imgp)
+    return jnp.moveaxis(out[:, :, :h, :w], 1, -1)
+
+
+# ---------------------------------------------------------------------------
+# Fused window-average + 2x2 solve (flow update)
+# ---------------------------------------------------------------------------
+
+
+def _flow_kernel_factory(weights, winsize: int):
+    """Box or Gaussian window sum over the 5 M planes + per-pixel solve."""
+    wl = [float(v) for v in weights]
+    half = winsize // 2
+    band_h = _TH + 16
+    band_w = _TW + 256
+    row_off = 8 - half
+    col_off = 128 - half
+
+    def kernel(m_ref, out_ref, band, sem):
+        bb = pl.program_id(0)
+        ti = pl.program_id(1)
+        tj = pl.program_id(2)
+        dma = pltpu.make_async_copy(
+            m_ref.at[bb, :, pl.ds(ti * _TH, band_h), pl.ds(tj * _TW, band_w)],
+            band,
+            sem,
+        )
+        dma.start()
+        dma.wait()
+
+        sums = []
+        for c in range(5):
+            v = None
+            for k in range(winsize):
+                sl = band[c, row_off + k : row_off + k + _TH, :]
+                v = sl * wl[k] if v is None else v + sl * wl[k]
+            hsum = None
+            for k in range(winsize):
+                cc = col_off + k
+                s = v[:, cc : cc + _TW]
+                hsum = s * wl[k] if hsum is None else hsum + s * wl[k]
+            sums.append(hsum)
+
+        g11, g12, g22, h1, h2 = sums
+        idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+        out_ref[0, 0] = (g11 * h2 - g12 * h1) * idet
+        out_ref[0, 1] = (g22 * h1 - g12 * h2) * idet
+
+    return kernel, band_h, band_w
+
+
+@functools.partial(jax.jit, static_argnames=("winsize", "gaussian_win"))
+def update_flow_fused(
+    m: jnp.ndarray, winsize: int = 15, gaussian_win: bool = False
+) -> jnp.ndarray:
+    """Fused Pallas window-average + solve: M (B,H,W,5) → flow (B,H,W,2).
+
+    Matches ops.farneback.update_flow (replicate borders).
+    """
+    from btcs_pnes_optical_flow_tpu.ops.farneback import _gaussian_win_kernel
+
+    if gaussian_win:
+        weights = _gaussian_win_kernel(winsize)
+    else:
+        weights = np.full(winsize, 1.0 / winsize, dtype=np.float64)
+    b, h, w, _ = m.shape
+    ht = -(-h // _TH) * _TH
+    wt = -(-w // _TW) * _TW
+    mt = jnp.moveaxis(m, -1, 1)
+    mp = jnp.pad(
+        mt, ((0, 0), (0, 0), (8, 8 + ht - h), (128, 128 + wt - w)), mode="edge"
+    )
+    kernel, band_h, band_w = _flow_kernel_factory(weights, winsize)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, 2, ht, wt), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(b, ht // _TH, wt // _TW),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, 2, _TH, _TW),
+                lambda bb, i, j: (bb, 0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((5, band_h, band_w), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+    )(mp)
+    return jnp.moveaxis(out[:, :, :h, :w], 1, -1)
