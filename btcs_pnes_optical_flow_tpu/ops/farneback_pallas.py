@@ -42,6 +42,11 @@ from btcs_pnes_optical_flow_tpu.ops.farneback import _BORDER_SCALE
 
 _TH = 32
 _TW = 256
+# Larger tiles for the halo-static kernels (poly expansion, window
+# solve) amortize the per-grid-step overhead; the warp kernel keeps
+# smaller tiles to fit its double-buffered bands in VMEM.
+_TH_P = 64
+_TW_P = 512
 
 
 def _border_scale_vec(pos, size):
@@ -68,37 +73,54 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, pad: int, d_max: int):
     band_h = -(-(_TH + 2 * r + 2 + 7) // 8) * 8
     band_w = -(-(_TW + 2 * r + 2 + 127) // 128) * 128
 
-    def kernel(r0_ref, flow_ref, r1_ref, m_ref, band, sem):
+    def kernel(by_ref, bx_ref, r0_ref, flow_ref, r1_ref, m_ref, band2, acc5, sem2, *, n_i, n_j):
         bb = pl.program_id(0)
         ti = pl.program_id(1)
         tj = pl.program_id(2)
         y0g = ti * _TH
         x0g = tj * _TW
+        idx = (bb * n_i + ti) * n_j + tj
+        total = pl.num_programs(0) * n_i * n_j
+
+        def tile_geometry(flat_idx):
+            tj_ = flat_idx % n_j
+            rest = flat_idx // n_j
+            ti_ = rest % n_i
+            bb_ = rest // n_i
+            row0_ = jnp.clip(ti_ * _TH + by_ref[flat_idx] - r + pad, 0, hp - band_h)
+            col0_ = jnp.clip(tj_ * _TW + bx_ref[flat_idx] - r + pad, 0, wp - band_w)
+            row0a_ = pl.multiple_of((row0_ // 8) * 8, 8)
+            col0a_ = pl.multiple_of((col0_ // 128) * 128, 128)
+            return bb_, row0_, col0_, row0a_, col0a_
+
+        def band_dma(flat_idx, slot):
+            bb_, _, _, row0a_, col0a_ = tile_geometry(flat_idx)
+            return pltpu.make_async_copy(
+                r1_ref.at[bb_, :, pl.ds(row0a_, band_h), pl.ds(col0a_, band_w)],
+                band2.at[slot],
+                sem2.at[slot],
+            )
+
+        # Double-buffered band pipeline: tile idx computes from slot
+        # idx%2 while tile idx+1's band streams into the other slot.
+        cur = idx % 2
+
+        @pl.when(idx == 0)
+        def _():
+            band_dma(idx, cur).start()
+
+        @pl.when(idx + 1 < total)
+        def _():
+            band_dma(idx + 1, (idx + 1) % 2).start()
+
+        band_dma(idx, cur).wait()
 
         fx = flow_ref[0, 0]
         fy = flow_ref[0, 1]
-
-        # Tile base displacement (integer, from the mean flow).  With
-        # r1 padded by `pad` = base_max + d_max + 2 on every side, a
-        # base within ±base_max always yields a valid band start.
-        base_max = pad - r - 2
-        by = jnp.clip(jnp.round(jnp.mean(fy)).astype(jnp.int32), -base_max, base_max)
-        bx = jnp.clip(jnp.round(jnp.mean(fx)).astype(jnp.int32), -base_max, base_max)
-        row0 = jnp.clip(y0g + by - r + pad, 0, hp - band_h)
-        col0 = jnp.clip(x0g + bx - r + pad, 0, wp - band_w)
-        # Tiling-aligned DMA start + in-VMEM roll correction.
-        row0a = pl.multiple_of((row0 // 8) * 8, 8)
-        col0a = pl.multiple_of((col0 // 128) * 128, 128)
-        m_row = row0 - row0a
+        _, row0, col0, row0a, col0a = tile_geometry(idx)
         m_col = col0 - col0a
+        band = band2[cur]
 
-        dma = pltpu.make_async_copy(
-            r1_ref.at[bb, :, pl.ds(row0a, band_h), pl.ds(col0a, band_w)],
-            band,
-            sem,
-        )
-        dma.start()
-        dma.wait()
         # Lane alignment (0..127) is corrected with a dynamic lane roll
         # (verified exact); sublane rolls miscompile on wide arrays, so
         # the 0..7-row alignment slack is instead absorbed into the
@@ -125,31 +147,36 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, pad: int, d_max: int):
         t_idx = jnp.clip(y1i - ii + (y0g - (row0a - pad)), 0, n_t - 1)
         s_idx = jnp.clip(x1i - jj + (x0g - (col0 - pad)), 0, n_s - 1)
 
-        # One-hot bilinear weights along each axis.
-        wys = []
-        wxs = []
+        # Sparse predicated accumulation: a tile's pixels only ever hit
+        # candidates in [min(t_idx), max(t_idx)+1] × [min(s_idx),
+        # max(s_idx)+1] (typically ~3×3 of the full 17×10 static
+        # window), so each (t, s) term is guarded by a *scalar* pl.when
+        # — skipped terms cost a branch, not 5 vector MACs.
+        tmin = jnp.min(t_idx)
+        tmax = jnp.max(t_idx)
+        smin = jnp.min(s_idx)
+        smax = jnp.max(s_idx)
+        acc5[...] = jnp.zeros((5, _TH, _TW), jnp.float32)
         for t in range(n_t):
-            wy = jnp.where(t_idx == t, 1.0 - ay, 0.0)
-            if t >= 1:
-                wy = wy + jnp.where(t_idx == t - 1, ay, 0.0)
-            wys.append(wy)
-        for s in range(n_s):
-            wx = jnp.where(s_idx == s, 1.0 - ax, 0.0)
-            if s >= 1:
-                wx = wx + jnp.where(s_idx == s - 1, ax, 0.0)
-            wxs.append(wx)
+            for s in range(n_s):
 
-        sampled = []
-        for c in range(5):
-            acc = jnp.zeros((_TH, _TW), jnp.float32)
-            for t in range(n_t):
-                inner = jnp.zeros((_TH, _TW), jnp.float32)
-                for s in range(n_s):
-                    inner = inner + wxs[s] * bandv[c][t : t + _TH, s : s + _TW]
-                acc = acc + wys[t] * inner
-            sampled.append(acc)
+                @pl.when((t >= tmin) & (t <= tmax + 1) & (s >= smin) & (s <= smax + 1))
+                def _(t=t, s=s):
+                    wy = jnp.where(t_idx == t, 1.0 - ay, 0.0)
+                    if t >= 1:
+                        wy = wy + jnp.where(t_idx == t - 1, ay, 0.0)
+                    wx = jnp.where(s_idx == s, 1.0 - ax, 0.0)
+                    if s >= 1:
+                        wx = wx + jnp.where(s_idx == s - 1, ax, 0.0)
+                    w = wy * wx
+                    for c in range(5):
+                        acc5[c] += w * bandv[c][t : t + _TH, s : s + _TW]
 
-        r2s, r3s, r4s, r5s, r6s = sampled
+        r2s = acc5[0]
+        r3s = acc5[1]
+        r4s = acc5[2]
+        r5s = acc5[3]
+        r6s = acc5[4]
         r0b = r0_ref[0]
         r4 = jnp.where(inside, (r0b[2] + r4s) * 0.5, r0b[2])
         r5 = jnp.where(inside, (r0b[3] + r5s) * 0.5, r0b[3])
@@ -221,37 +248,49 @@ def update_matrices_banded(
     wp = w + pad + pad_right
 
     kernel, band_h, band_w = _make_kernel(h, w, hp, wp, pad, d_max)
+    n_i = ht // _TH
+    n_j = wt // _TW
 
-    grid = (b, ht // _TH, wt // _TW)
+    # Per-tile integer base displacements, precomputed so the kernel's
+    # double-buffered pipeline can start tile t+1's band DMA during
+    # tile t's compute (bases arrive via scalar prefetch).
+    ftiles = fp.reshape(b, 2, n_i, _TH, n_j, _TW)
+    bases = jnp.round(jnp.mean(ftiles, axis=(3, 5))).astype(jnp.int32)
+    bases = jnp.clip(bases, -base_max, base_max)
+    bx_flat = bases[:, 0].reshape(-1)
+    by_flat = bases[:, 1].reshape(-1)
+
     out = pl.pallas_call(
-        kernel,
+        functools.partial(kernel, n_i=n_i, n_j=n_j),
         out_shape=jax.ShapeDtypeStruct((b, 5, ht, wt), jnp.float32),
-        grid_spec=pl.GridSpec(
-            grid=grid,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, n_i, n_j),
             in_specs=[
                 pl.BlockSpec(
                     (1, 5, _TH, _TW),
-                    lambda bb, i, j: (bb, 0, i, j),
+                    lambda bb, i, j, *refs: (bb, 0, i, j),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
                     (1, 2, _TH, _TW),
-                    lambda bb, i, j: (bb, 0, i, j),
+                    lambda bb, i, j, *refs: (bb, 0, i, j),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(memory_space=pltpu.ANY),  # full r1, DMA'd per tile
             ],
             out_specs=pl.BlockSpec(
                 (1, 5, _TH, _TW),
-                lambda bb, i, j: (bb, 0, i, j),
+                lambda bb, i, j, *refs: (bb, 0, i, j),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((5, band_h, band_w), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, 5, band_h, band_w), jnp.float32),
+                pltpu.VMEM((5, _TH, _TW), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-    )(r0p, fp, r1p)
+    )(by_flat, bx_flat, r0p, fp, r1p)
 
     return jnp.moveaxis(out[:, :, :h, :w], 1, -1)
 
@@ -274,29 +313,48 @@ def _poly_kernel_factory(g, xg, xxg, igs, n: int):
     gl = [float(v) for v in g]
     xgl = [float(v) for v in xg]
     xxgl = [float(v) for v in xxg]
-    band_h = _TH + 16
-    band_w = _TW + 256
+    band_h = _TH_P + 16
+    band_w = _TW_P + 256
     row_off = 8 - n   # first tap row inside the band
     col_off = 128 - n
 
-    def kernel(img_ref, out_ref, band, sem):
+    def kernel(img_ref, out_ref, band2, sem2, *, n_i, n_j):
         bb = pl.program_id(0)
         ti = pl.program_id(1)
         tj = pl.program_id(2)
-        dma = pltpu.make_async_copy(
-            img_ref.at[bb, pl.ds(ti * _TH, band_h), pl.ds(tj * _TW, band_w)],
-            band,
-            sem,
-        )
-        dma.start()
-        dma.wait()
+        idx = (bb * n_i + ti) * n_j + tj
+        total = pl.num_programs(0) * n_i * n_j
+
+        def band_dma(fi, slot):
+            tj_ = fi % n_j
+            rest = fi // n_j
+            ti_ = rest % n_i
+            bb_ = rest // n_i
+            return pltpu.make_async_copy(
+                img_ref.at[bb_, pl.ds(ti_ * _TH_P, band_h), pl.ds(tj_ * _TW_P, band_w)],
+                band2.at[slot],
+                sem2.at[slot],
+            )
+
+        cur = idx % 2
+
+        @pl.when(idx == 0)
+        def _():
+            band_dma(idx, cur).start()
+
+        @pl.when(idx + 1 < total)
+        def _():
+            band_dma(idx + 1, (idx + 1) % 2).start()
+
+        band_dma(idx, cur).wait()
+        band = band2[cur]
 
         # Vertical pass over the full band width.
         t0 = None
         t1 = None
         t2 = None
         for k in range(2 * n + 1):
-            sl = band[row_off + k : row_off + k + _TH, :]
+            sl = band[row_off + k : row_off + k + _TH_P, :]
             t0 = sl * gl[k] if t0 is None else t0 + sl * gl[k]
             t1 = sl * xgl[k] if t1 is None else t1 + sl * xgl[k]
             t2 = sl * xxgl[k] if t2 is None else t2 + sl * xxgl[k]
@@ -305,9 +363,9 @@ def _poly_kernel_factory(g, xg, xxg, igs, n: int):
         b1 = b2 = b3 = b4 = b5 = b6 = None
         for k in range(2 * n + 1):
             c = col_off + k
-            s0 = t0[:, c : c + _TW]
-            s1 = t1[:, c : c + _TW]
-            s2 = t2[:, c : c + _TW]
+            s0 = t0[:, c : c + _TW_P]
+            s1 = t1[:, c : c + _TW_P]
+            s2 = t2[:, c : c + _TW_P]
             b1 = s0 * gl[k] if b1 is None else b1 + s0 * gl[k]
             b2 = s0 * xgl[k] if b2 is None else b2 + s0 * xgl[k]
             b4 = s0 * xxgl[k] if b4 is None else b4 + s0 * xxgl[k]
@@ -334,8 +392,8 @@ def poly_exp_fused(img: jnp.ndarray, n: int = 5, sigma: float = 1.2) -> jnp.ndar
 
     g, xg, xxg, igs = _poly_exp_tables(n, sigma)
     b, h, w = img.shape
-    ht = -(-h // _TH) * _TH
-    wt = -(-w // _TW) * _TW
+    ht = -(-h // _TH_P) * _TH_P
+    wt = -(-w // _TW_P) * _TW_P
     # Host padding: 8 rows / 128 cols of halo alignment on the leading
     # side, halo + tile padding on the trailing side; edge mode
     # reproduces the replicate border.
@@ -345,20 +403,22 @@ def poly_exp_fused(img: jnp.ndarray, n: int = 5, sigma: float = 1.2) -> jnp.ndar
         mode="edge",
     )
     kernel, band_h, band_w = _poly_kernel_factory(g, xg, xxg, igs, n)
+    n_i = ht // _TH_P
+    n_j = wt // _TW_P
     out = pl.pallas_call(
-        kernel,
+        functools.partial(kernel, n_i=n_i, n_j=n_j),
         out_shape=jax.ShapeDtypeStruct((b, 5, ht, wt), jnp.float32),
         grid_spec=pl.GridSpec(
-            grid=(b, ht // _TH, wt // _TW),
+            grid=(b, n_i, n_j),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
-                (1, 5, _TH, _TW),
-                lambda bb, i, j: (bb, 0, i, j),
+                (1, 5, _TH_P, _TW_P),
+                lambda bb, i, j, *refs: (bb, 0, i, j),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((band_h, band_w), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, band_h, band_w), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
     )(imgp)
@@ -374,33 +434,52 @@ def _flow_kernel_factory(weights, winsize: int):
     """Box or Gaussian window sum over the 5 M planes + per-pixel solve."""
     wl = [float(v) for v in weights]
     half = winsize // 2
-    band_h = _TH + 16
-    band_w = _TW + 256
+    band_h = _TH_P + 16
+    band_w = _TW_P + 256
     row_off = 8 - half
     col_off = 128 - half
 
-    def kernel(m_ref, out_ref, band, sem):
+    def kernel(m_ref, out_ref, band2, sem2, *, n_i, n_j):
         bb = pl.program_id(0)
         ti = pl.program_id(1)
         tj = pl.program_id(2)
-        dma = pltpu.make_async_copy(
-            m_ref.at[bb, :, pl.ds(ti * _TH, band_h), pl.ds(tj * _TW, band_w)],
-            band,
-            sem,
-        )
-        dma.start()
-        dma.wait()
+        idx = (bb * n_i + ti) * n_j + tj
+        total = pl.num_programs(0) * n_i * n_j
+
+        def band_dma(fi, slot):
+            tj_ = fi % n_j
+            rest = fi // n_j
+            ti_ = rest % n_i
+            bb_ = rest // n_i
+            return pltpu.make_async_copy(
+                m_ref.at[bb_, :, pl.ds(ti_ * _TH_P, band_h), pl.ds(tj_ * _TW_P, band_w)],
+                band2.at[slot],
+                sem2.at[slot],
+            )
+
+        cur = idx % 2
+
+        @pl.when(idx == 0)
+        def _():
+            band_dma(idx, cur).start()
+
+        @pl.when(idx + 1 < total)
+        def _():
+            band_dma(idx + 1, (idx + 1) % 2).start()
+
+        band_dma(idx, cur).wait()
+        band = band2[cur]
 
         sums = []
         for c in range(5):
             v = None
             for k in range(winsize):
-                sl = band[c, row_off + k : row_off + k + _TH, :]
+                sl = band[c, row_off + k : row_off + k + _TH_P, :]
                 v = sl * wl[k] if v is None else v + sl * wl[k]
             hsum = None
             for k in range(winsize):
                 cc = col_off + k
-                s = v[:, cc : cc + _TW]
+                s = v[:, cc : cc + _TW_P]
                 hsum = s * wl[k] if hsum is None else hsum + s * wl[k]
             sums.append(hsum)
 
@@ -427,27 +506,29 @@ def update_flow_fused(
     else:
         weights = np.full(winsize, 1.0 / winsize, dtype=np.float64)
     b, h, w, _ = m.shape
-    ht = -(-h // _TH) * _TH
-    wt = -(-w // _TW) * _TW
+    ht = -(-h // _TH_P) * _TH_P
+    wt = -(-w // _TW_P) * _TW_P
     mt = jnp.moveaxis(m, -1, 1)
     mp = jnp.pad(
         mt, ((0, 0), (0, 0), (8, 8 + ht - h), (128, 128 + wt - w)), mode="edge"
     )
     kernel, band_h, band_w = _flow_kernel_factory(weights, winsize)
+    n_i = ht // _TH_P
+    n_j = wt // _TW_P
     out = pl.pallas_call(
-        kernel,
+        functools.partial(kernel, n_i=n_i, n_j=n_j),
         out_shape=jax.ShapeDtypeStruct((b, 2, ht, wt), jnp.float32),
         grid_spec=pl.GridSpec(
-            grid=(b, ht // _TH, wt // _TW),
+            grid=(b, n_i, n_j),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
-                (1, 2, _TH, _TW),
-                lambda bb, i, j: (bb, 0, i, j),
+                (1, 2, _TH_P, _TW_P),
+                lambda bb, i, j, *refs: (bb, 0, i, j),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((5, band_h, band_w), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, 5, band_h, band_w), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
     )(mp)

@@ -38,11 +38,11 @@ from btcs_pnes_optical_flow_tpu.ops import cvx
 @dataclasses.dataclass(frozen=True)
 class TVL1Params:
     tau: float = 0.25          # dual step size
-    lambda_: float = 0.15      # data-term weight
+    lambda_: float = 0.3       # data-term weight
     theta: float = 0.3         # coupling parameter
     n_scales: int = 3          # pyramid levels (0.5 scale factor)
-    n_warps: int = 3           # warps per level
-    n_iterations: int = 25     # primal-dual iterations per warp
+    n_warps: int = 5           # warps per level
+    n_iterations: int = 30     # primal-dual iterations per warp
     epsilon: float = 0.01      # unused (fixed iteration count), kept for API
     scale_step: float = 0.5
 

@@ -32,6 +32,9 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped: every test sees the same stream regardless of
+    # which other tests ran (a shared stream made borderline
+    # differential cases order-dependent).
     return np.random.default_rng(0)
