@@ -121,11 +121,13 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, pad: int, d_max: int):
         m_col = col0 - col0a
         band = band2[cur]
 
-        # Lane alignment (0..127) is corrected with a dynamic lane roll
-        # (verified exact); sublane rolls miscompile on wide arrays, so
-        # the 0..7-row alignment slack is instead absorbed into the
-        # vertical candidate range below.
-        bandv = [pltpu.roll(band[c], shift=-m_col, axis=1) for c in range(5)]
+        # Lane alignment (0..127) is corrected with a single dynamic
+        # lane roll over the channel-stacked band (verified exact; 2D
+        # lane rolls are the only dynamic rolls Mosaic compiles
+        # correctly — sublane and 3D rolls miscompile).  The 0..7-row
+        # alignment slack is absorbed into the vertical candidate range.
+        rolled = pltpu.roll(band.reshape(5 * band_h, band_w), shift=-m_col, axis=1)
+        bandv = [rolled[c * band_h : (c + 1) * band_h] for c in range(5)]
 
         ii = jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 0) + y0g
         jj = jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 1) + x0g
@@ -204,13 +206,14 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, pad: int, d_max: int):
     return kernel, band_h, band_w
 
 
-@functools.partial(jax.jit, static_argnames=("d_max", "base_max"))
+@functools.partial(jax.jit, static_argnames=("d_max", "base_max", "interpret"))
 def update_matrices_banded(
     r0: jnp.ndarray,
     r1: jnp.ndarray,
     flow: jnp.ndarray,
     d_max: int = 4,
     base_max: int = 56,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused banded warp + normal-equation update (Pallas).
 
@@ -277,7 +280,7 @@ def update_matrices_banded(
                     lambda bb, i, j, *refs: (bb, 0, i, j),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec(memory_space=pltpu.ANY),  # full r1, DMA'd per tile
+                pl.BlockSpec(memory_space=pl.ANY),  # full r1, DMA'd per tile
             ],
             out_specs=pl.BlockSpec(
                 (1, 5, _TH, _TW),
@@ -290,6 +293,7 @@ def update_matrices_banded(
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
+        interpret=interpret,
     )(by_flat, bx_flat, r0p, fp, r1p)
 
     return jnp.moveaxis(out[:, :, :h, :w], 1, -1)
@@ -382,8 +386,10 @@ def _poly_kernel_factory(g, xg, xxg, igs, n: int):
     return kernel, band_h, band_w
 
 
-@functools.partial(jax.jit, static_argnames=("n", "sigma"))
-def poly_exp_fused(img: jnp.ndarray, n: int = 5, sigma: float = 1.2) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("n", "sigma", "interpret"))
+def poly_exp_fused(
+    img: jnp.ndarray, n: int = 5, sigma: float = 1.2, interpret: bool = False
+) -> jnp.ndarray:
     """Fused Pallas polynomial expansion: (B, H, W) → (B, H, W, 5).
 
     Matches ops.farneback.poly_exp (replicate borders) to fp precision.
@@ -421,6 +427,7 @@ def poly_exp_fused(img: jnp.ndarray, n: int = 5, sigma: float = 1.2) -> jnp.ndar
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
+        interpret=interpret,
     )(imgp)
     return jnp.moveaxis(out[:, :, :h, :w], 1, -1)
 
@@ -491,9 +498,9 @@ def _flow_kernel_factory(weights, winsize: int):
     return kernel, band_h, band_w
 
 
-@functools.partial(jax.jit, static_argnames=("winsize", "gaussian_win"))
+@functools.partial(jax.jit, static_argnames=("winsize", "gaussian_win", "interpret"))
 def update_flow_fused(
-    m: jnp.ndarray, winsize: int = 15, gaussian_win: bool = False
+    m: jnp.ndarray, winsize: int = 15, gaussian_win: bool = False, interpret: bool = False
 ) -> jnp.ndarray:
     """Fused Pallas window-average + solve: M (B,H,W,5) → flow (B,H,W,2).
 
@@ -531,5 +538,6 @@ def update_flow_fused(
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
+        interpret=interpret,
     )(mp)
     return jnp.moveaxis(out[:, :, :h, :w], 1, -1)
