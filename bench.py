@@ -19,8 +19,11 @@ import time
 import numpy as np
 
 H, W = 480, 640
-N_PAIRS = 192          # TPU-timed pairs
-CHUNK = 32             # frame pairs per device batch
+# Bigger chunks amortize the per-kernel-invocation overhead (228 fps at
+# chunk 64 → 286 fps at 256 on v5e-1); the ladder falls back on OOM.
+CHUNK_LADDER = (256, 128, 64, 32)
+N_PAIRS = 512          # TPU-timed pairs
+CHUNK = CHUNK_LADDER[0]
 CPU_PAIRS = 12         # OpenCV-CPU pairs for the denominator
 
 
@@ -38,12 +41,13 @@ def render_clip(n_frames, h=H, w=W, fps=30.0, seed=0):
     return frames
 
 
-def main():
+def main(chunk: int = None):
+    chunk = chunk or CHUNK
     frames = render_clip(N_PAIRS + 1)
     roi = np.array([[140.0, 90.0], [520.0, 110.0], [500.0, 400.0], [120.0, 380.0]])
     theta = 0.3
-    ex = np.tile(np.array([np.cos(theta), -np.sin(theta)], np.float32), (CHUNK, 1))
-    ey = np.tile(np.array([np.sin(theta), np.cos(theta)], np.float32), (CHUNK, 1))
+    ex = np.tile(np.array([np.cos(theta), -np.sin(theta)], np.float32), (chunk, 1))
+    ey = np.tile(np.array([np.sin(theta), np.cos(theta)], np.float32), (chunk, 1))
 
     # ---- OpenCV-CPU denominator (the reference compute path) ----------
     cpu_fps = None
@@ -83,9 +87,9 @@ def main():
     eyd = jnp.asarray(ey)
 
     chunks = []
-    for s in range(0, N_PAIRS, CHUNK):
+    for s in range(0, N_PAIRS, chunk):
         chunks.append(
-            (jnp.asarray(frames[s : s + CHUNK]), jnp.asarray(frames[s + 1 : s + CHUNK + 1]))
+            (jnp.asarray(frames[s : s + chunk]), jnp.asarray(frames[s + 1 : s + chunk + 1]))
         )
 
     def force(tree):
@@ -127,4 +131,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    for ck in CHUNK_LADDER:
+        try:
+            main(ck)
+            break
+        except Exception as e:  # OOM etc. → retry with a smaller chunk
+            print(f"# chunk {ck} failed ({type(e).__name__}); retrying smaller", file=sys.stderr)
+    else:
+        raise SystemExit(1)

@@ -266,6 +266,8 @@ def farneback_flow(
     if prev.ndim == 2:
         prev = prev[None]
         curr = curr[None]
+        if flow0 is not None and flow0.ndim == 3:
+            flow0 = flow0[None]
         squeeze = True
     else:
         squeeze = False

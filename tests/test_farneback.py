@@ -148,3 +148,45 @@ class TestCvx:
             cv2.fillPoly(ref, [np.asarray(poly, np.int32)], 1)
             mine = cvx.fill_poly_mask(*hw, np.asarray(poly, float))
             assert np.array_equal(ref.astype(bool), mine), poly
+
+
+def test_flow_use_initial_flow(rng):
+    """OPTFLOW_USE_INITIAL_FLOW parity with cv2 (flags=4)."""
+    import cv2
+
+    h, w = 64, 80
+    f0 = _texture(h, w, rng)
+    f1 = _texture(h, w, rng, shift=(1.0, -0.6))
+    init = np.zeros((h, w, 2), np.float32)
+    init[..., 0] = -1.0
+    init[..., 1] = 0.5
+    ref = cv2.calcOpticalFlowFarneback(
+        f0, f1, init.copy(), 0.5, 3, 15, 3, 5, 1.2, cv2.OPTFLOW_USE_INITIAL_FLOW
+    )
+    params = FarnebackParams(use_initial_flow=True)
+    mine = np.asarray(
+        farneback_flow(jnp.asarray(f0), jnp.asarray(f1), params, flow0=jnp.asarray(init))
+    )
+    assert _epe(ref, mine).max() < 1e-3
+
+
+def test_flow_multi_roi_features(rng):
+    """Bilateral (multi-ROI) feature extraction (BASELINE config 2)."""
+    from btcs_pnes_optical_flow_tpu.models.flow import roi_body_flow
+
+    h, w = 64, 80
+    f0 = _texture(h, w, rng)
+    f1 = _texture(h, w, rng, shift=(1.0, 0.5))
+    masks = np.zeros((2, h, w), bool)
+    masks[0, 5:30, 5:38] = True   # "left"
+    masks[1, 30:60, 40:75] = True  # "right"
+    ex = jnp.asarray(np.array([[1.0, 0.0]], np.float32))
+    ey = jnp.asarray(np.array([[0.0, 1.0]], np.float32))
+    feats = roi_body_flow(jnp.asarray(f0)[None], jnp.asarray(f1)[None], ex, ey, jnp.asarray(masks))
+    assert feats.vx.shape == (1, 2)
+    # Cross-check each ROI against a manual masked mean of the flow.
+    fl = np.asarray(farneback_flow(jnp.asarray(f0), jnp.asarray(f1)))
+    for r in range(2):
+        np.testing.assert_allclose(
+            float(feats.vx[0, r]), fl[..., 0][masks[r]].mean(), rtol=1e-4, atol=1e-5
+        )
