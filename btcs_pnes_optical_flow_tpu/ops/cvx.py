@@ -79,16 +79,21 @@ def corr1d(img: jnp.ndarray, kernel: np.ndarray, axis: int) -> jnp.ndarray:
     axis = axis % img.ndim
     lead = img.shape[: img.ndim - 2]
     h, w = img.shape[-2], img.shape[-1]
-    x = img.reshape((-1, 1, h, w))
+    # Depthwise over the flattened batch: a C=1 NCHW conv makes XLA:TPU
+    # pick a channel-minor layout at large sizes that pads 1 → 128
+    # lanes (128× memory).  Depthwise keeps the (H, W) dims minor.
+    nb = int(np.prod(lead)) if lead else 1
+    x = img.reshape((1, nb, h, w))
     if axis == img.ndim - 2:
-        rhs = karr.reshape(1, 1, klen, 1)
+        rhs = np.broadcast_to(karr.reshape(1, 1, klen, 1), (nb, 1, klen, 1))
     else:
-        rhs = karr.reshape(1, 1, 1, klen)
+        rhs = np.broadcast_to(karr.reshape(1, 1, 1, klen), (nb, 1, 1, klen))
     y = jax.lax.conv_general_dilated(
         x,
         jnp.asarray(rhs, img.dtype),
         window_strides=(1, 1),
         padding="VALID",
+        feature_group_count=nb,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         # TPU convs default to bf16 MXU passes; the stencils must stay
         # fp32 to hold the <0.1 px differential-EPE contract.
