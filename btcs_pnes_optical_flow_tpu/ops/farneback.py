@@ -238,14 +238,66 @@ def update_flow(m: jnp.ndarray, winsize: int, gaussian_win: bool) -> jnp.ndarray
     return jnp.stack([fx, fy], axis=-1)
 
 
+def _strided_corr1d(img, kernel, stride: int, start: int, n_out: int, axis: int):
+    """Strided 1-D correlation (pre-padded input): out[d] = Σ k[i]·x[start + d·stride + i]."""
+    karr = np.asarray(kernel, dtype=np.float64)
+    klen = len(karr)
+    lead = img.shape[: img.ndim - 2]
+    nb = int(np.prod(lead)) if lead else 1
+    axis = axis % img.ndim
+    # Trim so the VALID strided conv yields exactly n_out outputs.
+    need = start + (n_out - 1) * stride + klen
+    if axis == img.ndim - 2:
+        x = img[..., start:need, :]
+        rhs = np.broadcast_to(karr.reshape(1, 1, klen, 1), (nb, 1, klen, 1))
+        strides = (stride, 1)
+    else:
+        x = img[..., :, start:need]
+        rhs = np.broadcast_to(karr.reshape(1, 1, 1, klen), (nb, 1, 1, klen))
+        strides = (1, stride)
+    y = jax.lax.conv_general_dilated(
+        x.reshape((1, nb) + x.shape[-2:]),
+        jnp.asarray(rhs, img.dtype),
+        window_strides=strides,
+        padding="VALID",
+        feature_group_count=nb,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return y.reshape(lead + y.shape[-2:])
+
+
 def _level_image(img_f: jnp.ndarray, k: int, params: FarnebackParams, h: int, w: int):
-    """Full-res float image → smoothed + resized level-k image."""
+    """Full-res float image → smoothed + resized level-k image.
+
+    OpenCV semantics: GaussianBlur the *full-res* frame with
+    sigma = (1/scale - 1)/2 (reflect101 borders), then bilinear-resize
+    to the level size.  For the standard pyr_scale = 0.5 pyramid with
+    even level sizes, blur+resize collapses into one *strided*
+    correlation with kernel gauss ⊛ [0.5, 0.5] — bilinear sample
+    positions (d+0.5)·2^k − 0.5 fall exactly halfway between two
+    integer pixels — which costs O(output) instead of O(full-res)
+    per level.  Exact (same taps, same weights); odd sizes or other
+    scales fall back to the generic blur+resize.
+    """
     scale = params.pyr_scale**k
     sigma = (1.0 / scale - 1.0) * 0.5
     from btcs_pnes_optical_flow_tpu.config import _round_half_even
 
     smooth_sz = max(_round_half_even(sigma * 5) | 1, 3)
     hk, wk = params.level_size(h, w, k)
+
+    if k > 0 and params.pyr_scale == 0.5 and (h, w) == (hk * 2**k, wk * 2**k):
+        m = 2**k
+        g = cvx.gaussian_kernel(smooth_sz, sigma)
+        comb = np.convolve(g, [0.5, 0.5])  # blur ⊛ bilinear half-taps
+        p = smooth_sz // 2
+        xp = cvx.pad_reflect101(img_f, p, p)
+        # out[d] reads padded positions (m·d + (m-2)/2 - p) + [0, 2p+1].
+        start = (m - 2) // 2
+        v = _strided_corr1d(xp, comb, m, start, hk, axis=-2)
+        return _strided_corr1d(v, comb, m, start, wk, axis=-1), hk, wk
+
     sm = cvx.gaussian_blur_reflect101(img_f, smooth_sz, sigma)
     return cvx.resize_bilinear(sm, hk, wk), hk, wk
 
