@@ -159,20 +159,28 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, pad: int, d_max: int):
         smin = jnp.min(s_idx)
         smax = jnp.max(s_idx)
         acc5[...] = jnp.zeros((5, _TH, _TW), jnp.float32)
+        # Horizontal one-hot weights are shared across t; hoist them.
+        wxs = []
+        for sv in range(n_s):
+            wx = jnp.where(s_idx == sv, 1.0 - ax, 0.0)
+            if sv >= 1:
+                wx = wx + jnp.where(s_idx == sv - 1, ax, 0.0)
+            wxs.append(wx)
         for t in range(n_t):
-            for s in range(n_s):
 
-                @pl.when((t >= tmin) & (t <= tmax + 1) & (s >= smin) & (s <= smax + 1))
-                def _(t=t, s=s):
-                    wy = jnp.where(t_idx == t, 1.0 - ay, 0.0)
-                    if t >= 1:
-                        wy = wy + jnp.where(t_idx == t - 1, ay, 0.0)
-                    wx = jnp.where(s_idx == s, 1.0 - ax, 0.0)
-                    if s >= 1:
-                        wx = wx + jnp.where(s_idx == s - 1, ax, 0.0)
-                    w = wy * wx
+            @pl.when((t >= tmin) & (t <= tmax + 1))
+            def _(t=t):
+                wy = jnp.where(t_idx == t, 1.0 - ay, 0.0)
+                if t >= 1:
+                    wy = wy + jnp.where(t_idx == t - 1, ay, 0.0)
+                # Register-accumulated inner loop over the (small) live
+                # horizontal range; one VMEM RMW per (t, channel).
+                inner = [jnp.zeros((_TH, _TW), jnp.float32) for _ in range(5)]
+                for sv in range(n_s):
                     for c in range(5):
-                        acc5[c] += w * bandv[c][t : t + _TH, s : s + _TW]
+                        inner[c] = inner[c] + wxs[sv] * bandv[c][t : t + _TH, sv : sv + _TW]
+                for c in range(5):
+                    acc5[c] += wy * inner[c]
 
         r2s = acc5[0]
         r3s = acc5[1]
