@@ -84,10 +84,17 @@ def poly_exp(img: jnp.ndarray, n: int, sigma: float) -> jnp.ndarray:
     the full mixed coefficient; downstream code halves it).
     Borders: replicate.
     """
-    g, xg, xxg, (ig11, ig03, ig33, ig55) = _poly_exp_tables(n, sigma)
+    return poly_exp_padded(cvx.pad_replicate(img, n, n), n, sigma)
 
-    p = n
-    xpad = cvx.pad_replicate(img, p, p)
+
+def poly_exp_padded(xpad: jnp.ndarray, n: int, sigma: float) -> jnp.ndarray:
+    """poly_exp on an input already padded by n on both spatial axes.
+
+    Used directly by the height-sharded path (parallel/spatial.py),
+    where the vertical pad rows come from a halo exchange instead of
+    edge replication.
+    """
+    g, xg, xxg, (ig11, ig03, ig33, ig55) = _poly_exp_tables(n, sigma)
     # Vertical pass (offsets along y; xg is odd → signed kernel).
     t0 = cvx.corr1d(xpad, g, axis=-2)
     t1 = cvx.corr1d(xpad, xg, axis=-2)
@@ -179,7 +186,18 @@ def update_matrices(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray) -> jnp.
     gx = jnp.arange(w, dtype=dt)[None, None, :]
     gy = jnp.arange(h, dtype=dt)[None, :, None]
     sampled, inside = _bilinear_gather(r1, gx + dx, gy + dy)
+    scale = jnp.asarray(_border_scale_np(h, w), dt)[None, :, :]
+    return update_matrices_core(r0, sampled, inside, dx, dy, scale)
 
+
+def update_matrices_core(r0, sampled, inside, dx, dy, scale) -> jnp.ndarray:
+    """M-plane math shared by the exact and height-sharded paths.
+
+    `sampled` is r1 bilinearly warped to (x+dx, y+dy); `inside` marks
+    warp targets whose 2×2 support lies fully inside the *global*
+    image; `scale` is the 5-pixel rim damping for the pixel's global
+    position.
+    """
     r2s = sampled[..., 0]
     r3s = sampled[..., 1]
     r4s = sampled[..., 2]
@@ -195,7 +213,6 @@ def update_matrices(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray) -> jnp.
     r2 = r2 + r4 * dy + r6 * dx
     r3 = r3 + r6 * dy + r5 * dx
 
-    scale = jnp.asarray(_border_scale_np(h, w), dt)[None, :, :]
     r2 = r2 * scale
     r3 = r3 * scale
     r4 = r4 * scale
@@ -227,6 +244,12 @@ def update_flow(m: jnp.ndarray, winsize: int, gaussian_win: bool) -> jnp.ndarray
         msum = cvx.sep_corr_replicate(mm, k, k)
     else:
         msum = cvx.box_sum_replicate(mm, winsize) * (1.0 / (winsize * winsize))
+    return solve_flow(msum)
+
+
+def solve_flow(msum: jnp.ndarray) -> jnp.ndarray:
+    """Regularized per-pixel 2×2 solve of the window-averaged normal
+    equations (msum: (B, 5, H, W)) → flow (B, H, W, 2)."""
     g11 = msum[:, 0]
     g12 = msum[:, 1]
     g22 = msum[:, 2]

@@ -25,17 +25,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from btcs_pnes_optical_flow_tpu.ops import cvx
 
 
-def _exchange_rows(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
+def exchange_rows(
+    x: jnp.ndarray, halo: int, axis_name: str, border: str = "replicate"
+) -> jnp.ndarray:
     """Concatenate neighbor halos along the (local) height axis.
 
     x: (..., H_loc, W).  Returns (..., H_loc + 2*halo, W) where the
     first/last `halo` rows come from the previous/next shard, or are
-    edge-replicated on the boundary shards (clamp border semantics).
+    border-filled on the boundary shards: ``border="replicate"``
+    duplicates the edge row (clamp semantics), ``border="reflect101"``
+    mirrors without duplicating the edge (cv2.GaussianBlur default).
     """
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
 
-    top_rows = x[..., :halo, :]      # this shard's top rows → sent down? no:
+    top_rows = x[..., :halo, :]
     bot_rows = x[..., -halo:, :]
 
     if n > 1:
@@ -51,12 +55,20 @@ def _exchange_rows(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
         from_above = bot_rows
         from_below = top_rows
 
-    # Boundary shards: replicate their own edge row (clamp border).
-    edge_top = jnp.repeat(x[..., :1, :], halo, axis=-2)
-    edge_bot = jnp.repeat(x[..., -1:, :], halo, axis=-2)
+    if border == "replicate":
+        edge_top = jnp.repeat(x[..., :1, :], halo, axis=-2)
+        edge_bot = jnp.repeat(x[..., -1:, :], halo, axis=-2)
+    elif border == "reflect101":
+        edge_top = jnp.flip(x[..., 1 : halo + 1, :], axis=-2)
+        edge_bot = jnp.flip(x[..., -halo - 1 : -1, :], axis=-2)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown border {border!r}")
     top_halo = jnp.where(idx == 0, edge_top, from_above)
     bot_halo = jnp.where(idx == n - 1, edge_bot, from_below)
     return jnp.concatenate([top_halo, x, bot_halo], axis=-2)
+
+
+_exchange_rows = exchange_rows  # back-compat alias
 
 
 def sep_corr_replicate_sharded(

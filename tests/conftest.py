@@ -13,14 +13,20 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 # Force, don't setdefault: the ambient environment may carry an empty or
 # tpu value, which would silently run the whole suite over the device
-# tunnel (slow, and without the 8 virtual devices).
-os.environ["JAX_PLATFORMS"] = "cpu"
+# tunnel (slow, and without the 8 virtual devices).  Opt out with
+# BTCS_TPU_TESTS=1 to run the hardware-gated Pallas regression tests on
+# the real TPU:
+#   BTCS_TPU_TESTS=1 python -m pytest tests/test_pallas_kernels.py -q
+_TPU_TESTS = os.environ.get("BTCS_TPU_TESTS") == "1"
+if not _TPU_TESTS:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
 # The axon device plugin overrides JAX_PLATFORMS at import time; the
 # config knob set post-import wins.
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_TESTS:
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: compile-bound test times drop massively
 # on repeat runs (single-core host; each XLA compile is tens of seconds).

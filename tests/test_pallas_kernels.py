@@ -3,7 +3,7 @@
 The CPU suite exercises the exact XLA paths; these tests pin the Pallas
 kernels (banded warp + fused poly expansion + fused window solve) to
 the exact implementations on real TPU hardware.  Run manually with:
-  JAX_PLATFORMS='' python -m pytest tests/test_pallas_kernels.py -q
+  BTCS_TPU_TESTS=1 python -m pytest tests/test_pallas_kernels.py -q
 """
 
 import numpy as np
