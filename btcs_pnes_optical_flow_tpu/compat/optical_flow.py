@@ -98,7 +98,9 @@ def main(argv=None) -> None:
     video_path, inter_npz, out_csv = argv[0], argv[1], argv[2]
     roi = np.array([[100, 100], [500, 120], [520, 380], [120, 400]], dtype=float)
     if len(argv) > 3:
-        roi = np.asarray(eval(argv[3]), dtype=float)  # noqa: S307 - CLI convenience
+        import ast
+
+        roi = np.asarray(ast.literal_eval(argv[3]), dtype=float)
     run_body_axis_flow_core(video_path, inter_npz, roi, out_csv)
     print("Saved:", out_csv)
 

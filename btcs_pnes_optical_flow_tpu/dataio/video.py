@@ -43,10 +43,9 @@ class ArraySource(VideoSource):
     def __init__(self, frames: np.ndarray, fps: float, pos_msec: Optional[np.ndarray] = None):
         frames = np.asarray(frames)
         if frames.ndim == 4:  # BGR → gray with the OpenCV-exact weights
-            from btcs_pnes_optical_flow_tpu.ops.cvx import bgr2gray_u8
-            import jax.numpy as jnp
+            from btcs_pnes_optical_flow_tpu.ops.cvx import bgr2gray_u8_np
 
-            frames = np.asarray(bgr2gray_u8(jnp.asarray(frames)))
+            frames = bgr2gray_u8_np(frames)
         self._frames = frames.astype(np.uint8)
         self._pos = pos_msec
         self.fps = float(fps)
@@ -108,8 +107,16 @@ class Y4MSource(VideoSource):
             raise ValueError(f"unsupported y4m subsampling {self._subsampling}")
         import os
 
+        # The Y4M spec allows per-frame parameters ('FRAME <params>\n');
+        # derive the marker length from the first frame's actual marker
+        # line instead of assuming the bare 6-byte 'FRAME\n'.
+        with open(path, "rb") as f:
+            f.seek(self._header_len)
+            marker = f.readline()
+        if marker and not marker.startswith(b"FRAME"):
+            raise ValueError(f"corrupt y4m frame marker in {path}")
         payload = os.path.getsize(path) - self._header_len
-        per = self._frame_bytes + 6  # 'FRAME\n'
+        per = self._frame_bytes + max(len(marker), 1)
         self.n_frames = payload // per
 
     def frames(self):
@@ -148,8 +155,10 @@ class OpenCVSource(VideoSource):
         self._cap = cap
 
     def frames(self):
-        from btcs_pnes_optical_flow_tpu.ops.cvx import bgr2gray_u8
-        import jax.numpy as jnp
+        # Host-side conversion: a per-frame device call would add ~29 ms
+        # of tunnel latency per frame (bgr2gray_u8_np is integer-exact
+        # vs the device op and cv2.cvtColor).
+        from btcs_pnes_optical_flow_tpu.ops.cvx import bgr2gray_u8_np
 
         cv2 = self._cv2
         while True:
@@ -157,8 +166,7 @@ class OpenCVSource(VideoSource):
             if not ret:
                 break
             pm = self._cap.get(cv2.CAP_PROP_POS_MSEC)
-            gray = np.asarray(bgr2gray_u8(jnp.asarray(frame)))
-            yield gray, (float(pm) if pm is not None else None)
+            yield bgr2gray_u8_np(frame), (float(pm) if pm is not None else None)
         self._cap.release()
 
 

@@ -399,7 +399,12 @@ def _select_update_matrices(params: FarnebackParams):
 
 
 def _select_poly_exp(params: FarnebackParams):
-    if params.warp_engine == "banded" and jax.default_backend() == "tpu":
+    # poly_n > 8 exceeds the fused kernel's static 8-row halo → exact path.
+    if (
+        params.warp_engine == "banded"
+        and params.poly_n <= 8
+        and jax.default_backend() == "tpu"
+    ):
         from btcs_pnes_optical_flow_tpu.ops.farneback_pallas import poly_exp_fused
 
         return poly_exp_fused
@@ -407,7 +412,12 @@ def _select_poly_exp(params: FarnebackParams):
 
 
 def _select_update_flow(params: FarnebackParams):
-    if params.warp_engine == "banded" and jax.default_backend() == "tpu":
+    # winsize >= 19 exceeds the fused kernel's static 8-row halo → exact path.
+    if (
+        params.warp_engine == "banded"
+        and params.winsize // 2 <= 8
+        and jax.default_backend() == "tpu"
+    ):
         from btcs_pnes_optical_flow_tpu.ops.farneback_pallas import update_flow_fused
 
         return update_flow_fused

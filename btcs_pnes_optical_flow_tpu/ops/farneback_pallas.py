@@ -404,6 +404,10 @@ def poly_exp_fused(
     """
     from btcs_pnes_optical_flow_tpu.ops.farneback import _poly_exp_tables
 
+    if n > 8:
+        # The band layout hard-codes an 8-row / 128-col halo (row_off =
+        # 8 - n would go negative and slice wrong rows silently).
+        raise ValueError(f"poly_exp_fused supports poly_n <= 8, got {n}")
     g, xg, xxg, igs = _poly_exp_tables(n, sigma)
     b, h, w = img.shape
     ht = -(-h // _TH_P) * _TH_P
@@ -516,6 +520,11 @@ def update_flow_fused(
     """
     from btcs_pnes_optical_flow_tpu.ops.farneback import _gaussian_win_kernel
 
+    if winsize // 2 > 8:
+        # Same 8-row halo constraint as poly_exp_fused (row_off = 8 -
+        # winsize//2 negative → silent wrap); winsize >= 19 must use
+        # the exact XLA path.
+        raise ValueError(f"update_flow_fused supports winsize <= 17, got {winsize}")
     if gaussian_win:
         weights = _gaussian_win_kernel(winsize)
     else:

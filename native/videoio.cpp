@@ -59,7 +59,13 @@ struct Source {
   std::atomic<bool> stop{false};
 
   ~Source() {
-    stop.store(true);
+    {
+      // Hold mu while flipping stop: otherwise the worker can test its
+      // wait predicate (stop==false), lose the race to this one-shot
+      // notify, and block forever — deadlocking worker.join().
+      std::lock_guard<std::mutex> lk(mu);
+      stop.store(true);
+    }
     cv_full.notify_all();
     cv_empty.notify_all();
     if (worker.joinable()) worker.join();
@@ -180,10 +186,26 @@ bool parse_y4m_header(const uint8_t* p, size_t len, Source* s) {
   else if (sub.rfind("444", 0) == 0) chroma = 2 * ysz;
   else if (sub.rfind("mono", 0) == 0) chroma = 0;
   else return false;
-  s->payload_off = eol + 1 + 6;  // first 'FRAME\n'
-  s->frame_stride = 6 + ysz + chroma;  // marker + planes
+  // Frame markers are 'FRAME[ <params>]\n' — the spec allows per-frame
+  // parameters, so derive the marker length from the first frame's
+  // actual marker line instead of assuming the bare 6-byte 'FRAME\n'.
+  const size_t first = eol + 1;
+  if (first + 5 > len || std::memcmp(p + first, "FRAME", 5) != 0) return false;
+  size_t meol = first;
+  while (meol < len && p[meol] != '\n') ++meol;
+  if (meol >= len) return false;
+  const size_t marker_len = meol - first + 1;
+  s->payload_off = first + marker_len;
+  s->frame_stride = marker_len + ysz + chroma;  // marker + planes
   s->luma_off = 0;
-  s->T = static_cast<int>((len - (eol + 1)) / s->frame_stride);
+  s->T = static_cast<int>((len - first) / s->frame_stride);
+  // The fixed-stride reader requires every marker to have the same
+  // length; verify (cheap: touches a few bytes per frame) and reject
+  // variable-length markers rather than silently misaligning luma.
+  for (int i = 1; i < s->T; ++i) {
+    const uint8_t* m = p + first + static_cast<size_t>(i) * s->frame_stride;
+    if (std::memcmp(m, "FRAME", 5) != 0 || m[marker_len - 1] != '\n') return false;
+  }
   return true;
 }
 

@@ -190,3 +190,24 @@ def test_flow_multi_roi_features(rng):
         np.testing.assert_allclose(
             float(feats.vx[0, r]), fl[..., 0][masks[r]].mean(), rtol=1e-4, atol=1e-5
         )
+
+
+def test_fused_kernels_reject_oversized_halo():
+    """ADVICE r1: winsize>=19 / poly_n>8 exceed the fused kernels'
+    static 8-row halo; they must fail loudly (and farneback_flow must
+    route such params to the exact XLA path instead)."""
+    import pytest
+
+    from btcs_pnes_optical_flow_tpu.config import FarnebackParams
+    from btcs_pnes_optical_flow_tpu.ops import farneback as fb
+    from btcs_pnes_optical_flow_tpu.ops import farneback_pallas as fbp
+
+    img = jnp.zeros((1, 32, 64), jnp.float32)
+    m = jnp.zeros((1, 32, 64, 5), jnp.float32)
+    with pytest.raises(ValueError, match="poly_n"):
+        fbp.poly_exp_fused(img, n=9, sigma=1.5)
+    with pytest.raises(ValueError, match="winsize"):
+        fbp.update_flow_fused(m, winsize=19)
+    # Selector falls back to the exact implementations.
+    assert fb._select_update_flow(FarnebackParams(winsize=21)) is fb.update_flow
+    assert fb._select_poly_exp(FarnebackParams(poly_n=9)) is fb.poly_exp

@@ -90,3 +90,50 @@ def test_flow_stage_resume(tmp_path, rng, monkeypatch):
     fin = np.isfinite(a.vx)
     np.testing.assert_array_equal(fin, np.isfinite(b.vx))
     np.testing.assert_allclose(a.vx[fin], b.vx[fin], atol=0)
+
+
+def _write_y4m(path, frames, marker=b"FRAME\n"):
+    h, w = frames.shape[1:]
+    with open(path, "wb") as f:
+        f.write(f"YUV4MPEG2 W{w} H{h} F30:1 Ip A1:1 Cmono\n".encode())
+        for fr in frames:
+            f.write(marker)
+            f.write(fr.tobytes())
+
+
+def test_y4m_frame_markers_with_params(tmp_path, rng):
+    """Y4M spec allows 'FRAME <params>\\n'; both readers must not
+    misalign luma when markers carry (constant) parameters."""
+    from btcs_pnes_optical_flow_tpu.dataio.native import NativeSource
+    from btcs_pnes_optical_flow_tpu.dataio.video import Y4MSource
+
+    frames = rng.integers(0, 256, (5, 16, 24)).astype(np.uint8)
+    p = str(tmp_path / "p.y4m")
+    _write_y4m(p, frames, marker=b"FRAME Xsomething\n")
+
+    src = Y4MSource(p)
+    assert src.n_frames == 5
+    got = np.stack([f for f, _ in src.frames()])
+    np.testing.assert_array_equal(got, frames)
+
+    nsrc = NativeSource(p)
+    ngot = np.stack([f for f, _ in nsrc.frames()])
+    np.testing.assert_array_equal(ngot, frames)
+    nsrc.close()
+
+
+def test_native_y4m_rejects_variable_markers(tmp_path, rng):
+    """Variable-length frame markers can't use the fixed-stride native
+    reader — opening must fail loudly, not return garbage luma."""
+    from btcs_pnes_optical_flow_tpu.dataio.native import NativeSource
+
+    frames = rng.integers(0, 256, (3, 8, 8)).astype(np.uint8)
+    p = str(tmp_path / "v.y4m")
+    h, w = 8, 8
+    with open(p, "wb") as f:
+        f.write(f"YUV4MPEG2 W{w} H{h} F30:1 Cmono\n".encode())
+        for i, fr in enumerate(frames):
+            f.write(b"FRAME\n" if i % 2 == 0 else b"FRAME X1\n")
+            f.write(fr.tobytes())
+    with pytest.raises((RuntimeError, ValueError, OSError)):
+        NativeSource(p)
