@@ -77,7 +77,7 @@ def main(chunk: int = None):
     import jax.numpy as jnp
 
     from btcs_pnes_optical_flow_tpu.config import PipelineConfig
-    from btcs_pnes_optical_flow_tpu.models.flow import roi_body_flow
+    from btcs_pnes_optical_flow_tpu.models.flow import roi_body_flow_seq
     from btcs_pnes_optical_flow_tpu.models.pc1 import pc1_from_flow
     from btcs_pnes_optical_flow_tpu.ops.cvx import fill_poly_mask
 
@@ -86,11 +86,9 @@ def main(chunk: int = None):
     exd = jnp.asarray(ex)
     eyd = jnp.asarray(ey)
 
-    chunks = []
-    for s in range(0, N_PAIRS, chunk):
-        chunks.append(
-            (jnp.asarray(frames[s : s + chunk]), jnp.asarray(frames[s + 1 : s + chunk + 1]))
-        )
+    # One (chunk+1)-frame array per chunk: the seq entry point shares
+    # per-frame poly expansions between consecutive pairs on device.
+    chunks = [jnp.asarray(frames[s : s + chunk + 1]) for s in range(0, N_PAIRS, chunk)]
 
     def force(tree):
         # jax.block_until_ready is unreliable through the axon tunnel;
@@ -98,11 +96,11 @@ def main(chunk: int = None):
         return [np.asarray(x) for x in jax.tree.leaves(tree)]
 
     # Warmup / compile.
-    out = roi_body_flow(chunks[0][0], chunks[0][1], exd, eyd, masks, cfg.flow)
+    out = roi_body_flow_seq(chunks[0], exd, eyd, masks, cfg.flow)
     force(out)
 
     t0 = time.perf_counter()
-    feats = [roi_body_flow(p, c, exd, eyd, masks, cfg.flow) for p, c in chunks]
+    feats = [roi_body_flow_seq(c, exd, eyd, masks, cfg.flow)[0] for c in chunks]
     host = [force(f) for f in feats]
     flow_time = time.perf_counter() - t0
 

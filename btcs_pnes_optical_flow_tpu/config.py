@@ -54,6 +54,16 @@ class FarnebackParams:
     warp_engine: str = "banded"
     warp_d_max: int = 4
     warp_base_max: int = 56
+    # Horizontal candidate-span cap for the banded warp kernel: > 0
+    # shortens the inner MAC loop to this many slots (re-anchored at the
+    # tile's min candidate).  Pixels outside the span are clamped AND
+    # counted in the kernel's clip output — never silent.  0 = full
+    # 2*warp_d_max+2 range.
+    warp_s_cap: int = 0
+    # "bf16" runs the warp candidate MACs in bfloat16 (float32
+    # accumulation): ~2x VPU throughput at ~1e-2 px EPE vs the fp32
+    # banded path (still far under the 0.1 px reference contract).
+    warp_precision: str = "fp32"
 
     def num_levels(self, height: int, width: int, min_size: int = 32) -> int:
         """Number of *extra* pyramid levels actually used.

@@ -20,7 +20,7 @@ import numpy as np
 
 from btcs_pnes_optical_flow_tpu.config import FarnebackParams
 from btcs_pnes_optical_flow_tpu.ops import cvx
-from btcs_pnes_optical_flow_tpu.ops.farneback import farneback_flow
+from btcs_pnes_optical_flow_tpu.ops.farneback import farneback_flow, farneback_flow_seq
 
 
 class FlowFeatures(NamedTuple):
@@ -49,6 +49,10 @@ def roi_body_flow(
     the plain mean over each ROI (flow is never NaN, so nanmean ≡ mean).
     """
     flow = farneback_flow(prev_gray, gray, params)
+    return _project_reduce(flow, ex, ey, roi_masks)
+
+
+def _project_reduce(flow, ex, ey, roi_masks) -> FlowFeatures:
     fx = flow[..., 0]
     fy = flow[..., 1]
     fx_body = fx * ex[:, 0, None, None] + fy * ex[:, 1, None, None]
@@ -63,6 +67,27 @@ def roi_body_flow(
         return s / cnt[None, :]
 
     return FlowFeatures(vx=red(fx_body), vy=red(fy_body), mag=red(mag_body))
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def roi_body_flow_seq(
+    frames: jnp.ndarray,
+    ex: jnp.ndarray,
+    ey: jnp.ndarray,
+    roi_masks: jnp.ndarray,
+    params: FarnebackParams = FarnebackParams(),
+):
+    """ROI features for the B consecutive pairs of (B+1, H, W) frames.
+
+    The production entry point of the flow stage: one frame array per
+    chunk (half the host→device traffic of the pair form), shared
+    per-frame polynomial expansions on the TPU banded path, and the
+    banded warp's per-pair clip counts (B,) returned alongside the
+    features so the pipeline can re-run violated pairs via the exact
+    engine (see ops.farneback.farneback_flow_seq).
+    """
+    flow, clips = farneback_flow_seq(frames, params, return_clip=True)
+    return _project_reduce(flow, ex, ey, roi_masks), clips
 
 
 def frame_times(

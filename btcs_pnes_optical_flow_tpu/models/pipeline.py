@@ -11,6 +11,7 @@ artifact compatibility with the reference scripts.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import List, Optional, Sequence
 
 import jax
@@ -23,8 +24,19 @@ from btcs_pnes_optical_flow_tpu.dataio import contracts
 from btcs_pnes_optical_flow_tpu.dataio.video import ChunkPrefetcher, VideoSource, open_source
 from btcs_pnes_optical_flow_tpu.models import metrics as metrics_model
 from btcs_pnes_optical_flow_tpu.models import pc1 as pc1_model
-from btcs_pnes_optical_flow_tpu.models.flow import frame_times, roi_body_flow, skel_indices
+from btcs_pnes_optical_flow_tpu.models.flow import (
+    frame_times,
+    roi_body_flow,
+    roi_body_flow_seq,
+    skel_indices,
+)
 from btcs_pnes_optical_flow_tpu.ops.cvx import fill_poly_mask
+from btcs_pnes_optical_flow_tpu.utils.timing import logger
+
+# How many dispatched chunks may be in flight before the oldest one is
+# forced to completion: keeps decode / device compute / host collection
+# overlapped while bounding host RAM to ~depth+1 chunks of frames.
+_PIPELINE_DEPTH = 2
 
 
 @dataclasses.dataclass
@@ -76,19 +88,75 @@ def run_flow_stage(
         )
 
     rows_t: List[np.ndarray] = []
-    rows_pos: List[Optional[float]] = []
     feats_vx: List[np.ndarray] = []
     feats_vy: List[np.ndarray] = []
     feats_mag: List[np.ndarray] = []
     pair_valid: List[np.ndarray] = []
 
-    # First pass metadata accumulators are built chunk by chunk; device
-    # work for chunk k overlaps decode of chunk k+1 via the prefetcher
-    # and JAX's async dispatch.
-    pending = []  # (n_pairs, FlowFeatures) to collect after dispatch
+    # Chunks are dispatched asynchronously (device work for chunk k
+    # overlaps decode of chunk k+1 via the prefetcher and JAX's async
+    # dispatch) and resolved _PIPELINE_DEPTH chunks behind, which keeps
+    # the frames of in-flight chunks available for the exact-engine
+    # fallback without holding the whole video in host RAM.
+    pending = []
 
     all_pos: List[Optional[float]] = []
     n_frames = 0
+    t_start = time.perf_counter()
+    pairs_done = 0
+
+    def resolve(entry):
+        nonlocal pairs_done
+        first, n_pairs, valid, t_chunk, sk, ok, feats, clips, frames, ex_s, ey_s = entry
+        if valid is None:  # resumed from checkpoint
+            vx, vy, mg = feats["vx"], feats["vy"], feats["mag"]
+        else:
+            vx = np.array(feats.vx)[:n_pairs]
+            vy = np.array(feats.vy)[:n_pairs]
+            mg = np.array(feats.mag)[:n_pairs]
+            bad = np.nonzero(np.asarray(clips)[:n_pairs] > 0)[0]
+            if bad.size:
+                # The banded warp clipped candidates on these pairs
+                # (within-tile displacement spread past warp_d_max /
+                # warp_s_cap — e.g. fast rotational limb motion): their
+                # M planes are corrupt, so recompute them exactly.
+                logger.warning(
+                    "flow chunk @%d: %d/%d pairs exceeded the banded warp window; "
+                    "recomputing via exact engine", first, bad.size, n_pairs,
+                )
+                exact = dataclasses.replace(config.flow, warp_engine="exact")
+                for s in range(0, bad.size, 8):
+                    sel = bad[s : s + 8]
+                    # Pad the index set so the exact path compiles once.
+                    idx = np.concatenate([sel, np.repeat(sel[-1:], 8 - len(sel))])
+                    ef = roi_body_flow(
+                        jnp.asarray(frames[idx]),
+                        jnp.asarray(frames[idx + 1]),
+                        jnp.asarray(ex_s[idx]),
+                        jnp.asarray(ey_s[idx]),
+                        masks_dev,
+                        exact,
+                    )
+                    vx[sel] = np.array(ef.vx)[: len(sel)]
+                    vy[sel] = np.array(ef.vy)[: len(sel)]
+                    mg[sel] = np.array(ef.mag)[: len(sel)]
+            inv = ~valid[:n_pairs]
+            vx[inv] = np.nan
+            vy[inv] = np.nan
+            mg[inv] = np.nan
+            if store is not None:
+                store.save(first, vx=vx, vy=vy, mag=mg, t=t_chunk, skel=sk, ok=ok)
+        feats_vx.append(vx)
+        feats_vy.append(vy)
+        feats_mag.append(mg)
+        rows_t.append(t_chunk)
+        pair_valid.append(ok)
+        pairs_done += n_pairs
+        dt = time.perf_counter() - t_start
+        logger.info(
+            "flow chunk @%d: %d pairs done, %.1f pairs/s cumulative",
+            first, pairs_done, pairs_done / dt if dt > 0 else 0.0,
+        )
 
     for first, frames, pos in ChunkPrefetcher(src, chunk_pairs):
         if first == 0:
@@ -124,40 +192,23 @@ def run_flow_stage(
 
         if store is not None and store.has(first):
             cached = store.load(first)
-            pending.append((first, n_pairs, None, t_chunk[:n_pairs], sk[:n_pairs], ok[:n_pairs], cached))
-            continue
-
-        feats = roi_body_flow(
-            jnp.asarray(frames[:-1]),
-            jnp.asarray(frames[1:]),
-            jnp.asarray(ex_safe),
-            jnp.asarray(ey_safe),
-            masks_dev,
-            config.flow,
-        )
-        valid = np.zeros(chunk_pairs, bool)
-        valid[:n_pairs] = ok[:n_pairs]
-        pending.append((first, n_pairs, valid, t_chunk[:n_pairs], sk[:n_pairs], ok[:n_pairs], feats))
-
-    # Collect device results (and publish chunk checkpoints).
-    for first, n_pairs, valid, t_chunk, sk, ok, feats in pending:
-        if valid is None:  # resumed from checkpoint
-            vx, vy, mg = feats["vx"], feats["vy"], feats["mag"]
+            pending.append((first, n_pairs, None, t_chunk[:n_pairs], sk[:n_pairs], ok[:n_pairs], cached, None, None, None, None))
         else:
-            vx = np.array(feats.vx)[:n_pairs]
-            vy = np.array(feats.vy)[:n_pairs]
-            mg = np.array(feats.mag)[:n_pairs]
-            inv = ~valid[:n_pairs]
-            vx[inv] = np.nan
-            vy[inv] = np.nan
-            mg[inv] = np.nan
-            if store is not None:
-                store.save(first, vx=vx, vy=vy, mag=mg, t=t_chunk, skel=sk, ok=ok)
-        feats_vx.append(vx)
-        feats_vy.append(vy)
-        feats_mag.append(mg)
-        rows_t.append(t_chunk)
-        pair_valid.append(ok)
+            feats, clips = roi_body_flow_seq(
+                jnp.asarray(frames),
+                jnp.asarray(ex_safe),
+                jnp.asarray(ey_safe),
+                masks_dev,
+                config.flow,
+            )
+            valid = np.zeros(chunk_pairs, bool)
+            valid[:n_pairs] = ok[:n_pairs]
+            pending.append((first, n_pairs, valid, t_chunk[:n_pairs], sk[:n_pairs], ok[:n_pairs], feats, clips, frames, ex_safe, ey_safe))
+        while len(pending) > _PIPELINE_DEPTH:
+            resolve(pending.pop(0))
+
+    for entry in pending:
+        resolve(entry)
 
     # Frame 0 row (no pair → NaN features), reference optical_flow.py:236-247.
     pos_all = np.array([p if p is not None else -1.0 for p in all_pos], dtype=np.float64)

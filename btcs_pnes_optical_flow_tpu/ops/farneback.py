@@ -338,6 +338,10 @@ def farneback_flow(
     with channels (dx, dy) in pixels, matching
     cv2.calcOpticalFlowFarneback's output layout.
     """
+    if _use_fused(params):
+        from btcs_pnes_optical_flow_tpu.ops.farneback_fused import farneback_flow_fused
+
+        return farneback_flow_fused(prev, curr, params, flow0)
     if prev.ndim == 2:
         prev = prev[None]
         curr = curr[None]
@@ -380,6 +384,51 @@ def farneback_flow(
                 m = um(r0, r1, flow)
 
     return flow[0] if squeeze else flow
+
+
+@functools.partial(jax.jit, static_argnames=("params", "return_clip"))
+def farneback_flow_seq(
+    frames: jnp.ndarray,
+    params: FarnebackParams = FarnebackParams(),
+    return_clip: bool = False,
+):
+    """Flow for the N consecutive pairs of an (N+1, H, W) sequence.
+
+    Equivalent to farneback_flow(frames[:-1], frames[1:], params), but
+    on the TPU banded path the per-frame level images and polynomial
+    expansions are shared between the two pairs that use each interior
+    frame (frame i is `curr` of pair i-1 and `prev` of pair i — the
+    reference's carried prev_gray, optical_flow.py:242-249).
+
+    With return_clip, also returns (N,) int32 counts of pixels whose
+    displacement exceeded the banded warp's reachable window; pairs
+    with nonzero counts should be recomputed with warp_engine="exact"
+    (models/pipeline.run_flow_stage does this automatically).
+    """
+    if _use_fused(params):
+        from btcs_pnes_optical_flow_tpu.ops.farneback_fused import (
+            farneback_flow_seq as _seq,
+        )
+
+        return _seq(frames, params, return_clip=return_clip)
+    out = farneback_flow(frames[:-1], frames[1:], params)
+    if not return_clip:
+        return out
+    return out, jnp.zeros((frames.shape[0] - 1,), jnp.int32)
+
+
+def _use_fused(params: FarnebackParams) -> bool:
+    """Production dispatch: the glue-free channel-first Pallas driver
+    (ops/farneback_fused.py) handles every banded-envelope config on
+    TPU; everything else (CPU tests, warp_engine="exact", poly_n > 8,
+    winsize >= 19) runs the generic XLA level loop below."""
+    from btcs_pnes_optical_flow_tpu.ops.farneback_fused import fused_supported
+
+    return (
+        params.warp_engine == "banded"
+        and jax.default_backend() == "tpu"
+        and fused_supported(params)
+    )
 
 
 def _select_update_matrices(params: FarnebackParams):

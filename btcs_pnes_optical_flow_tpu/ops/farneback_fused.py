@@ -1,0 +1,196 @@
+"""Glue-free Farnebäck driver: the whole pyramid loop in kernel layout.
+
+The round-1 profiling methodology (scripts/profile_inprog.py) showed the
+banded Pallas kernels themselves are fast, but the HLO *around* them —
+a moveaxis/pad/slice chain on every update_matrices / update_flow call,
+executed 3× per pyramid level — cost more than half of the end-to-end
+flow time (~360 of 673 ms at the 480p/chunk-256 bench point).  This
+driver keeps every array in the kernels' native channel-first layout
+across the whole level loop:
+
+- poly_exp_fused_cf writes (B, 5, ht, wt) tile-padded planes that
+  update_matrices_banded_cf reads *directly* (tile sizes are chosen so
+  the geometries nest);
+- the big band padding of the warped-from coefficients is built once
+  per level (pad_for_band) and reused by all iterations;
+- update_flow_fused_cf's output geometry is itself a valid warp-kernel
+  input, so the iteration loop's only remaining HLO is one fused
+  slice+pad of M (pad_for_solve) per iteration;
+- flow transposes to channel-last exactly once, at the very end.
+
+It also hosts the frame-*sequence* entry point: for consecutive video
+pairs, frame i is `curr` of pair i-1 and `prev` of pair i (reference
+hot loop optical_flow.py:222-250 carries prev_gray forward the same
+way), so the polynomial expansion and level images of interior frames
+are shared between the two pairs that use them — poly work per chunk
+drops ~2×.  The banded warp kernel reads pair b's warped-from planes
+from the stacked (N+1)-frame array at batch index b+1 (r1_offset).
+
+Every update_matrices call returns per-tile clip counts (pixels whose
+displacement strayed past warp_d_max / warp_s_cap of the tile mean —
+where the banded approximation breaks); the drivers aggregate them per
+pair so callers can detect and re-run affected pairs via the exact
+path instead of silently using corrupt flow.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from btcs_pnes_optical_flow_tpu.config import FarnebackParams
+from btcs_pnes_optical_flow_tpu.ops import cvx
+from btcs_pnes_optical_flow_tpu.ops.farneback import _level_image
+from btcs_pnes_optical_flow_tpu.ops.farneback_pallas import (
+    _TH,
+    _TW,
+    pad_for_band,
+    pad_for_solve,
+    poly_exp_fused_cf,
+    update_flow_fused_cf,
+    update_matrices_banded_cf,
+)
+
+
+def fused_supported(params: FarnebackParams) -> bool:
+    """Static-parameter envelope of the fused Pallas kernels."""
+    return params.poly_n <= 8 and params.winsize // 2 <= 8
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _init_flow_cf(
+    n: int, hk: int, wk: int, ht: int, wt: int, scale: float,
+    flow0: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    if flow0 is None:
+        return jnp.zeros((n, 2, ht, wt), jnp.float32)
+    f = cvx.resize_bilinear(jnp.moveaxis(flow0, -1, 1).astype(jnp.float32), hk, wk)
+    return jnp.pad(f * scale, ((0, 0), (0, 0), (0, ht - hk), (0, wt - wk)), mode="edge")
+
+
+def _fused_level_loop(polys_of_level, n: int, h: int, w: int,
+                      params: FarnebackParams, flow0, interpret: bool):
+    """Shared pyramid loop.
+
+    polys_of_level(k, hk, wk) -> (r0_cf, r1p, r1_offset): channel-first
+    coefficient planes for level k (true grid [:hk, :wk]) and the
+    band-padded warped-from planes.
+    """
+    klev = params.num_levels(h, w)
+    inv_scale = 1.0 / params.pyr_scale
+    flow = None
+    hk_prev = wk_prev = None
+    clip_total = jnp.zeros((n,), jnp.int32)
+    for k in range(klev, -1, -1):
+        hk, wk = params.level_size(h, w, k)
+        ht, wt = _ceil_to(hk, _TH), _ceil_to(wk, _TW)
+        r0_cf, r1p, r1_offset = polys_of_level(k, hk, wk)
+
+        if flow is None:
+            f0 = flow0 if params.use_initial_flow else None
+            flow = _init_flow_cf(n, hk, wk, ht, wt, params.pyr_scale**k, f0)
+        else:
+            fr = cvx.resize_bilinear(flow[:, :, :hk_prev, :wk_prev], hk, wk)
+            flow = jnp.pad(
+                fr * inv_scale,
+                ((0, 0), (0, 0), (0, ht - hk), (0, wt - wk)),
+                mode="edge",
+            )
+
+        for _ in range(params.iterations):
+            m, clip = update_matrices_banded_cf(
+                r0_cf, flow, r1p, hk, wk,
+                d_max=params.warp_d_max,
+                base_max=params.warp_base_max,
+                s_cap=params.warp_s_cap,
+                precision=params.warp_precision,
+                r1_offset=r1_offset,
+                interpret=interpret,
+            )
+            clip_total = clip_total + jnp.sum(clip, axis=(1, 2))
+            mp = pad_for_solve(m, hk, wk)
+            flow = update_flow_fused_cf(
+                mp, hk, wk, params.winsize, params.gaussian_win, interpret=interpret
+            )
+        hk_prev, wk_prev = hk, wk
+
+    out = jnp.moveaxis(flow[:, :, :h, :w], 1, -1)
+    return out, clip_total
+
+
+@functools.partial(jax.jit, static_argnames=("params", "return_clip", "interpret"))
+def farneback_flow_fused(
+    prev: jnp.ndarray,
+    curr: jnp.ndarray,
+    params: FarnebackParams = FarnebackParams(),
+    flow0: Optional[jnp.ndarray] = None,
+    return_clip: bool = False,
+    interpret: bool = False,
+):
+    """Channel-first fused flow for independent (prev, curr) pairs.
+
+    prev, curr: (B, H, W); returns flow (B, H, W, 2) — plus per-pair
+    clip counts (B,) int32 when return_clip is set (0 = banded warp was
+    exact vs the gather path; >0 = that pair needs the exact engine).
+    """
+    squeeze = prev.ndim == 2
+    if squeeze:
+        prev, curr = prev[None], curr[None]
+        if flow0 is not None and flow0.ndim == 3:
+            flow0 = flow0[None]
+    n, h, w = prev.shape
+    p_f = prev.astype(jnp.float32)
+    c_f = curr.astype(jnp.float32)
+
+    def polys_of_level(k, hk, wk):
+        i0, _, _ = _level_image(p_f, k, params, h, w)
+        i1, _, _ = _level_image(c_f, k, params, h, w)
+        r0 = poly_exp_fused_cf(i0, params.poly_n, params.poly_sigma, interpret=interpret)
+        r1 = poly_exp_fused_cf(i1, params.poly_n, params.poly_sigma, interpret=interpret)
+        r1p = pad_for_band(r1, hk, wk, params.warp_d_max, params.warp_base_max)
+        return r0, r1p, 0
+
+    out, clips = _fused_level_loop(polys_of_level, n, h, w, params, flow0, interpret)
+    if squeeze:
+        out = out[0]
+        clips = clips[0]
+    return (out, clips) if return_clip else out
+
+
+@functools.partial(jax.jit, static_argnames=("params", "return_clip", "interpret"))
+def farneback_flow_seq(
+    frames: jnp.ndarray,
+    params: FarnebackParams = FarnebackParams(),
+    flow0: Optional[jnp.ndarray] = None,
+    return_clip: bool = False,
+    interpret: bool = False,
+):
+    """Flow for N consecutive pairs of an (N+1, H, W) frame sequence.
+
+    Returns flow (N, H, W, 2) where flow[i] is the displacement field
+    from frames[i] to frames[i+1] — identical to farneback_flow(
+    frames[:-1], frames[1:]) but with the level images and polynomial
+    expansions of interior frames computed once instead of twice (each
+    interior frame is `curr` of one pair and `prev` of the next,
+    mirroring the reference's carried prev_gray, optical_flow.py:242).
+    """
+    n1, h, w = frames.shape
+    n = n1 - 1
+    f_all = frames.astype(jnp.float32)
+
+    def polys_of_level(k, hk, wk):
+        lv, _, _ = _level_image(f_all, k, params, h, w)
+        p = poly_exp_fused_cf(lv, params.poly_n, params.poly_sigma, interpret=interpret)
+        # Pair b reads r0 from stacked frame b (block specs only touch
+        # the first n frames) and its warp band from frame b+1.
+        r1p = pad_for_band(p, hk, wk, params.warp_d_max, params.warp_base_max)
+        return p, r1p, 1
+
+    out, clips = _fused_level_loop(polys_of_level, n, h, w, params, flow0, interpret)
+    return (out, clips) if return_clip else out

@@ -58,11 +58,60 @@ def _border_scale_vec(pos, size):
     return s
 
 
-def _make_kernel(h: int, w: int, hp: int, wp: int, pad: int, d_max: int):
+def _band_dims(d_max: int):
+    """Aligned band extents for the warp kernel's per-tile DMA."""
+    band_h = -(-(_TH + 2 * d_max + 2 + 7) // 8) * 8
+    band_w = -(-(_TW + 2 * d_max + 2 + 127) // 128) * 128
+    return band_h, band_w
+
+
+def pad_for_band(
+    r1_cf: jnp.ndarray, h: int, w: int, d_max: int = 4, base_max: int = 56
+) -> jnp.ndarray:
+    """Pad channel-first coefficients for the banded warp's DMA reads.
+
+    r1_cf: (B, 5, H0, W0) with the true image in [:h, :w] (H0/W0 may be
+    tile-padded).  Pads `base_max + d_max + 2` on the leading sides (so
+    negative base displacements stay in bounds) and enough trailing
+    rows/cols that every aligned band DMA stays in bounds.  Built once
+    per pyramid level and reused across all warp iterations.
+    """
+    _, _, h0, w0 = r1_cf.shape
+    pad = base_max + d_max + 2
+    band_h, band_w = _band_dims(d_max)
+    ht = -(-h // _TH) * _TH
+    wt = -(-w // _TW) * _TW
+    pad_bottom = max(0, ht - _TH + base_max - d_max + band_h + 2 - h0)
+    pad_right = max(0, wt - _TW + base_max - d_max + band_w + 2 - w0)
+    return jnp.pad(
+        r1_cf, ((0, 0), (0, 0), (pad, pad_bottom), (pad, pad_right)), mode="edge"
+    )
+
+
+def _make_kernel(
+    h: int,
+    w: int,
+    hp: int,
+    wp: int,
+    pad: int,
+    d_max: int,
+    s_cap: int = 0,
+    precision: str = "fp32",
+    r1_offset: int = 0,
+):
     """Build the fused warp+update kernel for static shapes.
 
     h, w: true image size.  hp, wp: padded size of r1 (pad on each side
-    of both axes).  The flow/r0/M arrays use the tile-padded true grid.
+    of both axes).  The flow/r0/M arrays use tile-padded grids.
+
+    s_cap > 0 restricts the horizontal candidate loop to `s_cap` slots
+    after re-anchoring the band at the tile's min candidate (an extra
+    dynamic lane roll) — pixels outside the span are clamped *and
+    counted* in the clip output.  precision="bf16" runs the candidate
+    multiply-accumulates in bfloat16 (float32 outer accumulation).
+    r1_offset shifts the batch index of the band source (the
+    frame-sequence driver passes the whole frame stack once and warps
+    from frame b+1).
     """
     r = d_max
     # Mosaic requires DMA slice shapes *and* start offsets aligned to
@@ -70,10 +119,20 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, pad: int, d_max: int):
     # the alignment slack (7 rows / 127 cols) and the window halo; the
     # unaligned remainder is corrected with dynamic rolls after the
     # copy (tpu.dynamic_rotate is cheap VPU data movement).
-    band_h = -(-(_TH + 2 * r + 2 + 7) // 8) * 8
-    band_w = -(-(_TW + 2 * r + 2 + 127) // 128) * 128
+    band_h, band_w = _band_dims(d_max)
+    n_t = 2 * r + 2 + 7
+    n_s_full = 2 * r + 2
+    n_s = s_cap if s_cap else n_s_full
+    # Roll-margin proof: after rolling by (m_col + smin) <= 127 +
+    # (n_s_full - s_cap), circular wrap garbage occupies the last
+    # m_col + smin columns; reads go up to col (n_s - 1) + _TW - 1.
+    # band_w >= _TW + 127 + n_s_full covers every case.
+    assert band_w >= _TW + 127 + n_s_full
+    wdt = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
-    def kernel(by_ref, bx_ref, r0_ref, flow_ref, r1_ref, m_ref, band2, acc5, sem2, *, n_i, n_j):
+    def kernel(
+        by_ref, bx_ref, r0_ref, flow_ref, r1_ref, m_ref, clip_ref, band2, acc5, sem2, *, n_i, n_j
+    ):
         bb = pl.program_id(0)
         ti = pl.program_id(1)
         tj = pl.program_id(2)
@@ -96,7 +155,7 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, pad: int, d_max: int):
         def band_dma(flat_idx, slot):
             bb_, _, _, row0a_, col0a_ = tile_geometry(flat_idx)
             return pltpu.make_async_copy(
-                r1_ref.at[bb_, :, pl.ds(row0a_, band_h), pl.ds(col0a_, band_w)],
+                r1_ref.at[bb_ + r1_offset, :, pl.ds(row0a_, band_h), pl.ds(col0a_, band_w)],
                 band2.at[slot],
                 sem2.at[slot],
             )
@@ -121,14 +180,6 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, pad: int, d_max: int):
         m_col = col0 - col0a
         band = band2[cur]
 
-        # Lane alignment (0..127) is corrected with a single dynamic
-        # lane roll over the channel-stacked band (verified exact; 2D
-        # lane rolls are the only dynamic rolls Mosaic compiles
-        # correctly — sublane and 3D rolls miscompile).  The 0..7-row
-        # alignment slack is absorbed into the vertical candidate range.
-        rolled = pltpu.roll(band.reshape(5 * band_h, band_w), shift=-m_col, axis=1)
-        bandv = [rolled[c * band_h : (c + 1) * band_h] for c in range(5)]
-
         ii = jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 0) + y0g
         jj = jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 1) + x0g
         gx = jj.astype(jnp.float32) + fx
@@ -140,24 +191,56 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, pad: int, d_max: int):
         x1i = x1f.astype(jnp.int32)
         y1i = y1f.astype(jnp.int32)
         inside = (x1i >= 0) & (x1i < w - 1) & (y1i >= 0) & (y1i < h - 1)
+        # Pixels whose sampled band values actually matter: inside the
+        # warp guard AND on the true grid (tile padding is discarded).
+        live = inside & (ii < h) & (jj < w)
 
         # Band-relative candidate indices.  Rows are relative to the
         # *aligned* start (m_row slack widens the range to 0..2r+8);
         # columns are relative to the rolled (exact) start: 0..2r+1.
-        n_t = 2 * r + 2 + 7
-        n_s = 2 * r + 2
-        t_idx = jnp.clip(y1i - ii + (y0g - (row0a - pad)), 0, n_t - 1)
-        s_idx = jnp.clip(x1i - jj + (x0g - (col0 - pad)), 0, n_s - 1)
+        t_raw = y1i - ii + (y0g - (row0a - pad))
+        t_idx = jnp.clip(t_raw, 0, n_t - 1)
+        s_raw = x1i - jj + (x0g - (col0 - pad))
+        s_full = jnp.clip(s_raw, 0, n_s_full - 1)
+        if s_cap:
+            # Re-anchor the band at the tile's min live candidate so the
+            # inner loop only walks s_cap slots (the span of a smooth
+            # flow within one tile is small).
+            smin = jnp.min(jnp.where(live, s_full, n_s_full - 1))
+            smin = jnp.clip(smin, 0, n_s_full - s_cap)
+            roll_shift = -(m_col + smin)
+            s_idx = jnp.clip(s_full - smin, 0, n_s - 1)
+            s_over = (s_raw != s_full) | (s_full - smin != s_idx)
+        else:
+            roll_shift = -m_col
+            s_idx = s_full
+            s_over = s_raw != s_full
+
+        # Clipped candidates mean the banded approximation was violated
+        # (per-pixel displacement strayed > d_max from the tile mean, or
+        # past the s_cap span): count them so callers can fall back to
+        # the exact path instead of silently returning corrupt M.
+        n_clip = jnp.sum((live & ((t_raw != t_idx) | s_over)).astype(jnp.int32))
+        clip_ref[0, ti, tj] = n_clip
+
+        # Lane alignment (0..127, plus the span anchor when s_cap is
+        # set) is corrected with a single dynamic lane roll over the
+        # channel-stacked band (verified exact; 2D lane rolls are the
+        # only dynamic rolls Mosaic compiles correctly — sublane and 3D
+        # rolls miscompile).  The 0..7-row alignment slack is absorbed
+        # into the vertical candidate range.
+        rolled = pltpu.roll(band.reshape(5 * band_h, band_w), shift=roll_shift, axis=1)
+        if precision == "bf16":
+            rolled = rolled.astype(jnp.bfloat16)
+        bandv = [rolled[c * band_h : (c + 1) * band_h] for c in range(5)]
 
         # Sparse predicated accumulation: a tile's pixels only ever hit
-        # candidates in [min(t_idx), max(t_idx)+1] × [min(s_idx),
-        # max(s_idx)+1] (typically ~3×3 of the full 17×10 static
-        # window), so each (t, s) term is guarded by a *scalar* pl.when
-        # — skipped terms cost a branch, not 5 vector MACs.
+        # candidates in [min(t_idx), max(t_idx)+1] × the s window
+        # (typically ~3×3 of the full static range), so each t term is
+        # guarded by a *scalar* pl.when — skipped terms cost a branch,
+        # not 5 vector MACs.
         tmin = jnp.min(t_idx)
         tmax = jnp.max(t_idx)
-        smin = jnp.min(s_idx)
-        smax = jnp.max(s_idx)
         acc5[...] = jnp.zeros((5, _TH, _TW), jnp.float32)
         # Horizontal one-hot weights are shared across t; hoist them.
         wxs = []
@@ -165,7 +248,7 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, pad: int, d_max: int):
             wx = jnp.where(s_idx == sv, 1.0 - ax, 0.0)
             if sv >= 1:
                 wx = wx + jnp.where(s_idx == sv - 1, ax, 0.0)
-            wxs.append(wx)
+            wxs.append(wx.astype(wdt))
         for t in range(n_t):
 
             @pl.when((t >= tmin) & (t <= tmax + 1))
@@ -175,12 +258,12 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, pad: int, d_max: int):
                     wy = wy + jnp.where(t_idx == t - 1, ay, 0.0)
                 # Register-accumulated inner loop over the (small) live
                 # horizontal range; one VMEM RMW per (t, channel).
-                inner = [jnp.zeros((_TH, _TW), jnp.float32) for _ in range(5)]
+                inner = [jnp.zeros((_TH, _TW), wdt) for _ in range(5)]
                 for sv in range(n_s):
                     for c in range(5):
                         inner[c] = inner[c] + wxs[sv] * bandv[c][t : t + _TH, sv : sv + _TW]
                 for c in range(5):
-                    acc5[c] += wy * inner[c]
+                    acc5[c] += wy * inner[c].astype(jnp.float32)
 
         r2s = acc5[0]
         r3s = acc5[1]
@@ -214,66 +297,73 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, pad: int, d_max: int):
     return kernel, band_h, band_w
 
 
-@functools.partial(jax.jit, static_argnames=("d_max", "base_max", "interpret"))
-def update_matrices_banded(
-    r0: jnp.ndarray,
-    r1: jnp.ndarray,
-    flow: jnp.ndarray,
+def update_matrices_banded_cf(
+    r0_cf: jnp.ndarray,
+    flow_cf: jnp.ndarray,
+    r1p: jnp.ndarray,
+    h: int,
+    w: int,
     d_max: int = 4,
     base_max: int = 56,
+    s_cap: int = 0,
+    precision: str = "fp32",
+    r1_offset: int = 0,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """Fused banded warp + normal-equation update (Pallas).
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Channel-first banded warp + normal-equation update (Pallas).
 
-    r0, r1: (B, H, W, 5) polynomial expansions; flow: (B, H, W, 2).
-    Returns M (B, H, W, 5).  Matches ops.farneback.update_matrices up
-    to the banded-warp approximation (exact whenever each pixel's
-    displacement is within ``d_max`` of its tile's mean displacement,
-    and |mean| <= base_max).
+    The glue-free core of the hot path: all arrays live in the kernel's
+    native layout so repeated iterations incur zero HLO transposes/pads
+    (the moveaxis/pad chains around every call dominated the profile —
+    docs/PERFORMANCE.md).
+
+    r0_cf: (B0, 5, H0, W0) coefficients, true image in [:h, :w]; H0/W0
+        may be tile-padded larger (any multiple of the kernel tile) —
+        e.g. poly_exp_fused_cf output is consumed directly, and the
+        frame-sequence driver passes the whole (N+1)-frame stack (only
+        the first B frames are read).
+    flow_cf: (B, 2, Hf, Wf), true flow in [:h, :w]; padding values must
+        be finite/representative (they enter the per-tile base means).
+    r1p: (B + r1_offset, 5, hp, wp) from pad_for_band.
+    Returns (M (B, 5, ht, wt), clip (B, n_i, n_j) int32).  M matches
+    ops.farneback.update_matrices on the true grid whenever clip == 0;
+    nonzero clip marks tiles whose pixels strayed past d_max/s_cap of
+    the tile's mean displacement (the caller should re-run those via
+    the exact path).
     """
-    b, h, w, _ = r0.shape
+    b = flow_cf.shape[0]
     ht = -(-h // _TH) * _TH
     wt = -(-w // _TW) * _TW
     pad = base_max + d_max + 2
+    for name, arr, hh, ww in (("r0_cf", r0_cf, ht, wt), ("flow_cf", flow_cf, ht, wt)):
+        if arr.shape[-2] % _TH or arr.shape[-1] % _TW or arr.shape[-2] < hh or arr.shape[-1] < ww:
+            raise ValueError(
+                f"{name} spatial dims {arr.shape[-2:]} must be multiples of "
+                f"({_TH},{_TW}) covering ({hh},{ww})"
+            )
+    hp, wp = r1p.shape[-2], r1p.shape[-1]
 
-    r0t = jnp.moveaxis(r0, -1, 1)  # (B,5,H,W)
-    r1t = jnp.moveaxis(r1, -1, 1)
-    ft = jnp.moveaxis(flow, -1, 1)
-
-    # Tile-pad the true-grid arrays (edge mode keeps values finite).
-    r0p = jnp.pad(r0t, ((0, 0), (0, 0), (0, ht - h), (0, wt - w)), mode="edge")
-    fp = jnp.pad(ft, ((0, 0), (0, 0), (0, ht - h), (0, wt - w)), mode="edge")
-    # Pad r1 so every band DMA start and extent stays in bounds:
-    # top/left cover base displacements down to -base_max; bottom/right
-    # additionally cover the aligned band extent past the last tile.
-    band_h = -(-(_TH + 2 * d_max + 2 + 7) // 8) * 8
-    band_w = -(-(_TW + 2 * d_max + 2 + 127) // 128) * 128
-    pad_bottom = (ht - h) + base_max - d_max + band_h - _TH + 2
-    pad_right = (wt - w) + base_max - d_max + band_w - _TW + 2
-    r1p = jnp.pad(
-        r1t,
-        ((0, 0), (0, 0), (pad, pad_bottom), (pad, pad_right)),
-        mode="edge",
+    kernel, band_h, band_w = _make_kernel(
+        h, w, hp, wp, pad, d_max, s_cap=s_cap, precision=precision, r1_offset=r1_offset
     )
-    hp = h + pad + pad_bottom
-    wp = w + pad + pad_right
-
-    kernel, band_h, band_w = _make_kernel(h, w, hp, wp, pad, d_max)
     n_i = ht // _TH
     n_j = wt // _TW
 
     # Per-tile integer base displacements, precomputed so the kernel's
     # double-buffered pipeline can start tile t+1's band DMA during
     # tile t's compute (bases arrive via scalar prefetch).
-    ftiles = fp.reshape(b, 2, n_i, _TH, n_j, _TW)
+    ftiles = flow_cf[:, :, :ht, :wt].reshape(b, 2, n_i, _TH, n_j, _TW)
     bases = jnp.round(jnp.mean(ftiles, axis=(3, 5))).astype(jnp.int32)
     bases = jnp.clip(bases, -base_max, base_max)
     bx_flat = bases[:, 0].reshape(-1)
     by_flat = bases[:, 1].reshape(-1)
 
-    out = pl.pallas_call(
+    out, clip = pl.pallas_call(
         functools.partial(kernel, n_i=n_i, n_j=n_j),
-        out_shape=jax.ShapeDtypeStruct((b, 5, ht, wt), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 5, ht, wt), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_i, n_j), jnp.int32),
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(b, n_i, n_j),
@@ -290,10 +380,20 @@ def update_matrices_banded(
                 ),
                 pl.BlockSpec(memory_space=pl.ANY),  # full r1, DMA'd per tile
             ],
-            out_specs=pl.BlockSpec(
-                (1, 5, _TH, _TW),
-                lambda bb, i, j, *refs: (bb, 0, i, j),
-                memory_space=pltpu.VMEM,
+            out_specs=(
+                pl.BlockSpec(
+                    (1, 5, _TH, _TW),
+                    lambda bb, i, j, *refs: (bb, 0, i, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                # One (n_i, n_j) SMEM block per batch item (written at
+                # dynamic tile indices; TPU requires SMEM blocks to span
+                # the trailing dims).
+                pl.BlockSpec(
+                    (1, n_i, n_j),
+                    lambda bb, i, j, *refs: (bb, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, 5, band_h, band_w), jnp.float32),
@@ -302,9 +402,55 @@ def update_matrices_banded(
             ],
         ),
         interpret=interpret,
-    )(by_flat, bx_flat, r0p, fp, r1p)
+    )(by_flat, bx_flat, r0_cf, flow_cf, r1p)
+    return out, clip
 
-    return jnp.moveaxis(out[:, :, :h, :w], 1, -1)
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d_max", "base_max", "s_cap", "precision", "return_clip", "interpret"),
+)
+def update_matrices_banded(
+    r0: jnp.ndarray,
+    r1: jnp.ndarray,
+    flow: jnp.ndarray,
+    d_max: int = 4,
+    base_max: int = 56,
+    s_cap: int = 0,
+    precision: str = "fp32",
+    return_clip: bool = False,
+    interpret: bool = False,
+):
+    """Fused banded warp + normal-equation update (channel-last API).
+
+    r0, r1: (B, H, W, 5) polynomial expansions; flow: (B, H, W, 2).
+    Returns M (B, H, W, 5) — and the per-tile clip counts
+    (B, n_i, n_j) when return_clip is set.  Matches
+    ops.farneback.update_matrices up to the banded-warp approximation
+    (exact whenever each pixel's displacement is within ``d_max`` of
+    its tile's mean displacement, |mean| <= base_max, and — with
+    s_cap > 0 — the horizontal candidate span fits s_cap); violations
+    are reported in the clip counts.  The production driver
+    (farneback_fused) uses the channel-first core directly.
+    """
+    b, h, w, _ = r0.shape
+    ht = -(-h // _TH) * _TH
+    wt = -(-w // _TW) * _TW
+
+    r0t = jnp.moveaxis(r0, -1, 1)  # (B,5,H,W)
+    ft = jnp.moveaxis(flow, -1, 1)
+    # Tile-pad the true-grid arrays (edge mode keeps values finite).
+    r0p = jnp.pad(r0t, ((0, 0), (0, 0), (0, ht - h), (0, wt - w)), mode="edge")
+    fp = jnp.pad(ft, ((0, 0), (0, 0), (0, ht - h), (0, wt - w)), mode="edge")
+    r1p = pad_for_band(jnp.moveaxis(r1, -1, 1), h, w, d_max, base_max)
+
+    out, clip = update_matrices_banded_cf(
+        r0p, fp, r1p, h, w,
+        d_max=d_max, base_max=base_max, s_cap=s_cap, precision=precision,
+        interpret=interpret,
+    )
+    m = jnp.moveaxis(out[:, :, :h, :w], 1, -1)
+    return (m, clip) if return_clip else m
 
 
 # ---------------------------------------------------------------------------
@@ -394,13 +540,16 @@ def _poly_kernel_factory(g, xg, xxg, igs, n: int):
     return kernel, band_h, band_w
 
 
-@functools.partial(jax.jit, static_argnames=("n", "sigma", "interpret"))
-def poly_exp_fused(
+def poly_exp_fused_cf(
     img: jnp.ndarray, n: int = 5, sigma: float = 1.2, interpret: bool = False
 ) -> jnp.ndarray:
-    """Fused Pallas polynomial expansion: (B, H, W) → (B, H, W, 5).
+    """Channel-first fused polynomial expansion: (B, H, W) → (B, 5, ht, wt).
 
-    Matches ops.farneback.poly_exp (replicate borders) to fp precision.
+    ht/wt are the (_TH_P, _TW_P) tile-padded extents; only [:h, :w] is
+    the true expansion (the padding holds stencil-of-replicated-border
+    values — finite but not meaningful).  The production driver feeds
+    this directly to update_matrices_banded_cf (tile sizes are chosen
+    so the geometry is compatible), avoiding any output transpose.
     """
     from btcs_pnes_optical_flow_tpu.ops.farneback import _poly_exp_tables
 
@@ -423,7 +572,7 @@ def poly_exp_fused(
     kernel, band_h, band_w = _poly_kernel_factory(g, xg, xxg, igs, n)
     n_i = ht // _TH_P
     n_j = wt // _TW_P
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(kernel, n_i=n_i, n_j=n_j),
         out_shape=jax.ShapeDtypeStruct((b, 5, ht, wt), jnp.float32),
         grid_spec=pl.GridSpec(
@@ -441,6 +590,18 @@ def poly_exp_fused(
         ),
         interpret=interpret,
     )(imgp)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "sigma", "interpret"))
+def poly_exp_fused(
+    img: jnp.ndarray, n: int = 5, sigma: float = 1.2, interpret: bool = False
+) -> jnp.ndarray:
+    """Fused Pallas polynomial expansion: (B, H, W) → (B, H, W, 5).
+
+    Matches ops.farneback.poly_exp (replicate borders) to fp precision.
+    """
+    b, h, w = img.shape
+    out = poly_exp_fused_cf(img, n, sigma, interpret=interpret)
     return jnp.moveaxis(out[:, :, :h, :w], 1, -1)
 
 
@@ -510,13 +671,19 @@ def _flow_kernel_factory(weights, winsize: int):
     return kernel, band_h, band_w
 
 
-@functools.partial(jax.jit, static_argnames=("winsize", "gaussian_win", "interpret"))
-def update_flow_fused(
-    m: jnp.ndarray, winsize: int = 15, gaussian_win: bool = False, interpret: bool = False
+def update_flow_fused_cf(
+    mp: jnp.ndarray, h: int, w: int, winsize: int = 15, gaussian_win: bool = False,
+    interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused Pallas window-average + solve: M (B,H,W,5) → flow (B,H,W,2).
+    """Channel-first fused window-average + solve.
 
-    Matches ops.farneback.update_flow (replicate borders).
+    mp: (B, 5, ht+16, wt+256) — M pre-padded with the (8, 128) aligned
+    halo (edge replicate of the true [:h, :w] grid), where ht/wt are
+    the (_TH_P, _TW_P)-padded extents.  Returns flow (B, 2, ht, wt);
+    only [:h, :w] is meaningful, but the padding values are solves of
+    replicated normal equations — finite and representative, so the
+    output feeds update_matrices_banded_cf directly (its per-tile base
+    means tolerate them).
     """
     from btcs_pnes_optical_flow_tpu.ops.farneback import _gaussian_win_kernel
 
@@ -529,17 +696,15 @@ def update_flow_fused(
         weights = _gaussian_win_kernel(winsize)
     else:
         weights = np.full(winsize, 1.0 / winsize, dtype=np.float64)
-    b, h, w, _ = m.shape
-    ht = -(-h // _TH_P) * _TH_P
-    wt = -(-w // _TW_P) * _TW_P
-    mt = jnp.moveaxis(m, -1, 1)
-    mp = jnp.pad(
-        mt, ((0, 0), (0, 0), (8, 8 + ht - h), (128, 128 + wt - w)), mode="edge"
-    )
+    b = mp.shape[0]
+    ht = mp.shape[-2] - 16
+    wt = mp.shape[-1] - 256
+    if ht % _TH_P or wt % _TW_P or ht < h or wt < w:
+        raise ValueError(f"mp spatial dims {mp.shape[-2:]} must be (ht+16, wt+256)")
     kernel, band_h, band_w = _flow_kernel_factory(weights, winsize)
     n_i = ht // _TH_P
     n_j = wt // _TW_P
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(kernel, n_i=n_i, n_j=n_j),
         out_shape=jax.ShapeDtypeStruct((b, 2, ht, wt), jnp.float32),
         grid_spec=pl.GridSpec(
@@ -557,4 +722,31 @@ def update_flow_fused(
         ),
         interpret=interpret,
     )(mp)
+
+
+def pad_for_solve(m_cf: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Edge-replicate the true [:h, :w] grid of channel-first M into the
+    (8, 128)-haloed, (_TH_P, _TW_P)-tile-padded layout update_flow_fused_cf
+    expects.  One fused slice+pad — the only per-iteration HLO glue left
+    on the hot path."""
+    ht = -(-h // _TH_P) * _TH_P
+    wt = -(-w // _TW_P) * _TW_P
+    return jnp.pad(
+        m_cf[:, :, :h, :w],
+        ((0, 0), (0, 0), (8, 8 + ht - h), (128, 128 + wt - w)),
+        mode="edge",
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("winsize", "gaussian_win", "interpret"))
+def update_flow_fused(
+    m: jnp.ndarray, winsize: int = 15, gaussian_win: bool = False, interpret: bool = False
+) -> jnp.ndarray:
+    """Fused Pallas window-average + solve: M (B,H,W,5) → flow (B,H,W,2).
+
+    Matches ops.farneback.update_flow (replicate borders).
+    """
+    b, h, w, _ = m.shape
+    mp = pad_for_solve(jnp.moveaxis(m, -1, 1), h, w)
+    out = update_flow_fused_cf(mp, h, w, winsize, gaussian_win, interpret=interpret)
     return jnp.moveaxis(out[:, :, :h, :w], 1, -1)

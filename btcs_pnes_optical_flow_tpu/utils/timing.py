@@ -5,12 +5,21 @@ from __future__ import annotations
 import contextlib
 import json
 import logging
+import os
 import time
 from typing import Dict, Optional
 
 import jax
 
 logger = logging.getLogger("btcs_pnes_optical_flow_tpu")
+# Production observability default: per-chunk progress / stage rates go
+# to stderr unless the embedding application configures logging itself
+# or opts out (BTCS_LOG_LEVEL=WARNING silences progress).
+if not logger.handlers and not logging.getLogger().handlers:
+    _handler = logging.StreamHandler()
+    _handler.setFormatter(logging.Formatter("[%(name)s] %(message)s"))
+    logger.addHandler(_handler)
+    logger.setLevel(os.environ.get("BTCS_LOG_LEVEL", "INFO"))
 
 
 @contextlib.contextmanager

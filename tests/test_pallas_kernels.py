@@ -21,7 +21,8 @@ from btcs_pnes_optical_flow_tpu.ops import farneback_pallas as fbp
 
 
 @pytest.fixture(scope="module")
-def data(rng):
+def data():
+    rng = np.random.default_rng(0)
     B, H, W = 2, 96, 160
     r0 = jnp.asarray(rng.normal(size=(B, H, W, 5)).astype(np.float32))
     r1 = jnp.asarray(rng.normal(size=(B, H, W, 5)).astype(np.float32))

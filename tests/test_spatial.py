@@ -54,7 +54,7 @@ def test_sharded_matches_unsharded(rng, n_dev, h, w, params):
 def test_sharded_requires_divisible_height(rng):
     mesh = make_mesh(4, axes=("spatial",))
     prev, curr = _pair(rng, 100, 64)
-    with pytest.raises(ValueError, match="must divide"):
+    with pytest.raises(ValueError, match="must be divisible"):
         farneback_flow_sharded(
             prev[None], curr[None], FarnebackParams(levels=1, warp_engine="exact"), mesh
         )
