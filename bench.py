@@ -81,6 +81,10 @@ def main(chunk: int = None):
     from btcs_pnes_optical_flow_tpu.models.pc1 import pc1_from_flow
     from btcs_pnes_optical_flow_tpu.ops.cvx import fill_poly_mask
 
+    import dataclasses
+
+    from btcs_pnes_optical_flow_tpu.models.flow import roi_body_flow_checked
+
     cfg = PipelineConfig()
     masks = jnp.asarray(fill_poly_mask(H, W, roi)[None])
     exd = jnp.asarray(ex)
@@ -95,14 +99,50 @@ def main(chunk: int = None):
         # a host transfer is an unambiguous completion fence.
         return [np.asarray(x) for x in jax.tree.leaves(tree)]
 
-    # Warmup / compile.
+    # Warmup / compile: the fast anchored-span path AND the wide-window
+    # escalation tier (production semantics of run_flow_stage — pairs
+    # that clip the span re-run with the full window, so the timed
+    # region below includes that cost honestly).
+    wide = dataclasses.replace(
+        cfg.flow, warp_s_cap=0, warp_d_max_y=max(16, cfg.flow.warp_d_max_y)
+    )
     out = roi_body_flow_seq(chunks[0], exd, eyd, masks, cfg.flow)
     force(out)
+    wf = roi_body_flow_checked(
+        chunks[0][:8], chunks[0][1:9], exd[:8], eyd[:8], masks, wide
+    )
+    force(wf)
 
+    n_escalated = 0
     t0 = time.perf_counter()
-    feats = [roi_body_flow_seq(c, exd, eyd, masks, cfg.flow)[0] for c in chunks]
+    feats = []
+    for ci, c in enumerate(chunks):
+        f, clips = roi_body_flow_seq(c, exd, eyd, masks, cfg.flow)
+        feats.append(f)
+        cl = np.asarray(clips)
+        bad = np.nonzero(cl > 0)[0]
+        if bad.size:
+            # Mirror run_flow_stage's escalation for clipped pairs.
+            n_escalated += int(bad.size)
+            vx = np.array(f.vx); vy = np.array(f.vy); mg = np.array(f.mag)
+            for s in range(0, bad.size, 8):
+                sel = bad[s : s + 8]
+                idx = np.concatenate([sel, np.repeat(sel[-1:], 8 - len(sel))])
+                wfe, wc = roi_body_flow_checked(
+                    c[idx], c[idx + 1], exd[idx], eyd[idx], masks, wide
+                )
+                vx[sel] = np.array(wfe.vx)[: len(sel)]
+                vy[sel] = np.array(wfe.vy)[: len(sel)]
+                mg[sel] = np.array(wfe.mag)[: len(sel)]
+            from btcs_pnes_optical_flow_tpu.models.flow import FlowFeatures
+
+            feats[ci] = FlowFeatures(
+                vx=jnp.asarray(vx), vy=jnp.asarray(vy), mag=jnp.asarray(mg)
+            )
     host = [force(f) for f in feats]
     flow_time = time.perf_counter() - t0
+    if n_escalated:
+        print(f"# escalated {n_escalated}/{N_PAIRS} pairs to the wide window", file=sys.stderr)
 
     vx = jnp.concatenate([jnp.full((1,), jnp.nan)] + [f.vx[:, 0] for f in feats])
     vy = jnp.concatenate([jnp.full((1,), jnp.nan)] + [f.vy[:, 0] for f in feats])
@@ -128,6 +168,90 @@ def main(chunk: int = None):
     )
 
 
+def bench_1080p():
+    """BASELINE config 3: 1080p chunked streaming flow (secondary line)."""
+    import jax
+    import jax.numpy as jnp
+
+    from btcs_pnes_optical_flow_tpu.config import PipelineConfig
+    from btcs_pnes_optical_flow_tpu.models.flow import roi_body_flow_seq
+    from btcs_pnes_optical_flow_tpu.ops.cvx import fill_poly_mask
+
+    h, w, n_pairs = 1080, 1920, 96
+    for chunk in (32, 16, 8):
+        try:
+            frames = render_clip(n_pairs + 1, h=h, w=w, seed=1)
+            roi = np.array([[420.0, 270.0], [1560.0, 330.0], [1500.0, 900.0], [360.0, 840.0]])
+            masks = jnp.asarray(fill_poly_mask(h, w, roi)[None])
+            theta = 0.3
+            ex = jnp.asarray(np.tile(np.array([np.cos(theta), -np.sin(theta)], np.float32), (chunk, 1)))
+            ey = jnp.asarray(np.tile(np.array([np.sin(theta), np.cos(theta)], np.float32), (chunk, 1)))
+            cfg = PipelineConfig()
+            chunks = [jnp.asarray(frames[s : s + chunk + 1]) for s in range(0, n_pairs, chunk)]
+
+            def force(tree):
+                return [np.asarray(x) for x in jax.tree.leaves(tree)]
+
+            force(roi_body_flow_seq(chunks[0], ex, ey, masks, cfg.flow))  # compile
+            t0 = time.perf_counter()
+            feats = [roi_body_flow_seq(c, ex, ey, masks, cfg.flow)[0] for c in chunks]
+            [force(f) for f in feats]
+            fps = n_pairs / (time.perf_counter() - t0)
+            print(
+                json.dumps(
+                    {
+                        "metric": "flow 1920x1080 streaming",
+                        "value": round(fps, 2),
+                        "unit": "frames/sec",
+                        "vs_baseline": None,
+                        "chunk_pairs": chunk,
+                    }
+                )
+            )
+            return
+        except Exception as e:
+            print(f"# 1080p chunk {chunk} failed ({type(e).__name__}: {e}); retrying smaller", file=sys.stderr)
+    print("# 1080p bench failed at all chunk sizes", file=sys.stderr)
+
+
+def bench_cohort():
+    """BASELINE config 4: cohort of short videos through the full
+    pipeline (flow+PC1+metrics, per-video isolation) — secondary line."""
+    from btcs_pnes_optical_flow_tpu.dataio import contracts
+    from btcs_pnes_optical_flow_tpu.parallel.runner import CohortItem, run_cohort
+
+    n_videos, n_frames = 4, 129
+    roi = np.array([[140.0, 90.0], [520.0, 110.0], [500.0, 400.0], [120.0, 380.0]])
+    items = []
+    for v in range(n_videos):
+        clip = render_clip(n_frames, seed=10 + v)
+        t = np.arange(n_frames) / 30.0
+        theta = 0.3
+        ex = np.tile(np.array([np.cos(theta), -np.sin(theta)]), (n_frames, 1))
+        ey = np.tile(np.array([np.sin(theta), np.cos(theta)]), (n_frames, 1))
+        skel = contracts.Skeleton(time_all=t, ex=ex, ey=ey, fps=30.0)
+        items.append(CohortItem(name=f"v{v}", video=clip, skeleton=skel, roi_polygons=[roi]))
+
+    # Warmup: compile the chunk shapes once outside the timed region.
+    run_cohort(items[:1], chunk_pairs=64)
+    t0 = time.perf_counter()
+    df = run_cohort(items, chunk_pairs=64)
+    dt = time.perf_counter() - t0
+    total_frames = n_videos * n_frames
+    assert int((df["status"] >= 0).sum()) == n_videos
+    print(
+        json.dumps(
+            {
+                "metric": "cohort end-to-end (flow+PC1+metrics)",
+                "value": round(total_frames / dt, 2),
+                "unit": "frames/sec",
+                "vs_baseline": None,
+                "videos": n_videos,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     for ck in CHUNK_LADDER:
         try:
@@ -137,3 +261,14 @@ if __name__ == "__main__":
             print(f"# chunk {ck} failed ({type(e).__name__}); retrying smaller", file=sys.stderr)
     else:
         raise SystemExit(1)
+    # Secondary lines (the driver reads only the first): BASELINE
+    # configs 3 (1080p streaming) and 4 (cohort end-to-end).
+    if os.environ.get("BENCH_SECONDARY", "1") != "0":
+        try:
+            bench_1080p()
+        except Exception as e:
+            print(f"# 1080p bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+        try:
+            bench_cohort()
+        except Exception as e:
+            print(f"# cohort bench failed: {type(e).__name__}: {e}", file=sys.stderr)

@@ -48,22 +48,62 @@ class FarnebackParams:
     use_initial_flow: bool = False  # flags & OPTFLOW_USE_INITIAL_FLOW
     # Warp engine for the normal-equation update: "banded" runs the
     # fused Pallas kernel (TPU; bit-exact vs "exact" whenever each
-    # pixel's displacement is within warp_d_max of its tile's mean and
-    # |mean| <= warp_base_max); "exact" is the gather-based XLA path
+    # pixel's displacement is within (warp_d_max_y, warp_d_max_x) of
+    # its tile's mean, the horizontal span fits warp_s_cap, and
+    # |mean| <= warp_base_max — violations are counted per pair so the
+    # pipeline can escalate: re-run with warp_s_cap=0 (full window),
+    # then the exact path); "exact" is the gather-based XLA path
     # (always used on non-TPU backends).
+    # The reachable window is asymmetric because warp tiles are 32 rows
+    # x 256 cols: within-tile vertical flow variation is structurally
+    # smaller than horizontal.  Vertical candidates are statically
+    # unrolled sublane slices (measured nearly free up to ~29 rows);
+    # horizontal candidates cost linearly in executed slots with a
+    # Mosaic perf cliff past ~18 (scripts/profile_um_micro.py), hence
+    # the anchored span cap below.
+    # The kernel's total static slot count ((2*d_max_y + 10) x
+    # (warp_s_cap + 1)) must stay under the ~400-instance Mosaic cliff
+    # (scripts/profile_um_micro.py): d_max_y=8 x s_cap=14 -> 390.
+    # The split favors vertical reach (nearly free sublane rows) over
+    # horizontal span (expensive lane slots): vertical within-tile
+    # deviation is structurally small, and the bucketed second window
+    # (warp_dual_frac) recovers wide horizontal spans.  Violations are
+    # always counted and escalate per pair.
     warp_engine: str = "banded"
-    warp_d_max: int = 4
+    warp_d_max_y: int = 8
+    warp_d_max_x: int = 16
     warp_base_max: int = 56
+    # Array layout of the fused TPU driver.  "transposed" runs the
+    # whole pyramid on (W, H) arrays (Farnebäck is exactly x<->y
+    # symmetric; flow channels are swapped back on output).  Measured
+    # on the 480p bench workload it LOSES to "native": the warp tiles
+    # rotate with the layout, so their image patches become tall
+    # (32x x 256y) and the within-patch displacement spans grow on
+    # both axes (scripts: /tmp/prof_transposed, 131 vs 463 pairs/s).
+    # Kept as an option for portrait-orientation video.
+    warp_layout: str = "native"
     # Horizontal candidate-span cap for the banded warp kernel: > 0
     # shortens the inner MAC loop to this many slots (re-anchored at the
-    # tile's min candidate).  Pixels outside the span are clamped AND
-    # counted in the kernel's clip output — never silent.  0 = full
-    # 2*warp_d_max+2 range.
-    warp_s_cap: int = 0
+    # tile's min candidate, so the window sits anywhere within the
+    # +-warp_d_max_x reach — asymmetric deviation distributions on
+    # motion-boundary tiles are covered).  Pixels outside the span are
+    # clamped AND counted in the kernel's clip output — never silent.
+    # 0 = full 2*warp_d_max_x+2 range (slow: past the slot cliff; used
+    # as the middle escalation tier for clipped pairs).
+    warp_s_cap: int = 14
     # "bf16" runs the warp candidate MACs in bfloat16 (float32
     # accumulation): ~2x VPU throughput at ~1e-2 px EPE vs the fp32
     # banded path (still far under the 0.1 px reference contract).
     warp_precision: str = "fp32"
+    # Dual-window escalation budget: after the fast anchored pass, the
+    # top ceil(frac * n_tiles) most-clipped tiles are re-visited by a
+    # second 16-slot window anchored at the *uncovered* pixels' min
+    # candidate (ops/farneback_pallas.update_matrices_banded_tiles_cf)
+    # and merged per pixel — two independently-anchored windows cover
+    # bimodal motion-boundary tiles exactly, at a cost proportional to
+    # the violation volume instead of the window width.  0 disables
+    # (clips then escalate per pair via the pipeline tiers).
+    warp_dual_frac: float = 0.125
 
     def num_levels(self, height: int, width: int, min_size: int = 32) -> int:
         """Number of *extra* pyramid levels actually used.

@@ -171,7 +171,12 @@ class OpenCVSource(VideoSource):
 
 
 def open_source(path_or_array, fps: Optional[float] = None) -> VideoSource:
-    """Dispatch on extension / type."""
+    """Dispatch on extension / type.
+
+    Codec files prefer the cv2-free decoders (ffmpeg pipe / native
+    MJPEG-AVI parse, dataio/codecs.py); cv2.VideoCapture is only the
+    last resort, keeping OpenCV optional on the production input path.
+    """
     if isinstance(path_or_array, np.ndarray):
         return ArraySource(path_or_array, fps or 30.0)
     p = str(path_or_array)
@@ -179,7 +184,12 @@ def open_source(path_or_array, fps: Optional[float] = None) -> VideoSource:
         return Y4MSource(p)
     if p.endswith(".npy"):
         return NpyGraySource(p, fps or 30.0)
-    return OpenCVSource(p, fallback_fps=fps or 30.0)
+    from btcs_pnes_optical_flow_tpu.dataio.codecs import open_codec_source
+
+    try:
+        return open_codec_source(p, fallback_fps=fps or 30.0)
+    except Exception:
+        return OpenCVSource(p, fallback_fps=fps or 30.0)
 
 
 class ChunkPrefetcher:

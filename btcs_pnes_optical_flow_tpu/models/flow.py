@@ -90,6 +90,25 @@ def roi_body_flow_seq(
     return _project_reduce(flow, ex, ey, roi_masks), clips
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
+def roi_body_flow_checked(
+    prev_gray: jnp.ndarray,
+    gray: jnp.ndarray,
+    ex: jnp.ndarray,
+    ey: jnp.ndarray,
+    roi_masks: jnp.ndarray,
+    params: FarnebackParams = FarnebackParams(),
+):
+    """roi_body_flow through the fused banded driver, returning the
+    per-pair clip counts (TPU only — the middle escalation tier of
+    run_flow_stage: pairs that clip the default anchored span re-run
+    here with warp_s_cap=0 before falling back to the exact engine)."""
+    from btcs_pnes_optical_flow_tpu.ops.farneback_fused import farneback_flow_fused
+
+    flow, clips = farneback_flow_fused(prev_gray, gray, params, return_clip=True)
+    return _project_reduce(flow, ex, ey, roi_masks), clips
+
+
 def frame_times(
     pos_msec: Optional[np.ndarray], n_frames: int, fps: float
 ) -> np.ndarray:

@@ -27,6 +27,7 @@ from btcs_pnes_optical_flow_tpu.models import pc1 as pc1_model
 from btcs_pnes_optical_flow_tpu.models.flow import (
     frame_times,
     roi_body_flow,
+    roi_body_flow_checked,
     roi_body_flow_seq,
     skel_indices,
 )
@@ -117,29 +118,67 @@ def run_flow_stage(
             bad = np.nonzero(np.asarray(clips)[:n_pairs] > 0)[0]
             if bad.size:
                 # The banded warp clipped candidates on these pairs
-                # (within-tile displacement spread past warp_d_max /
-                # warp_s_cap — e.g. fast rotational limb motion): their
-                # M planes are corrupt, so recompute them exactly.
+                # (within-tile displacement spread past the anchored
+                # warp_s_cap span or warp_d_max_y/x — e.g. fast
+                # rotational limb motion): their M planes are corrupt.
+                # Escalate: (1) the full-window banded kernel (slow but
+                # ~5x faster than exact), (2) the exact gather path for
+                # anything still outside the band's reach.
                 logger.warning(
-                    "flow chunk @%d: %d/%d pairs exceeded the banded warp window; "
-                    "recomputing via exact engine", first, bad.size, n_pairs,
+                    "flow chunk @%d: %d/%d pairs exceeded the banded warp span; "
+                    "escalating", first, bad.size, n_pairs,
                 )
-                exact = dataclasses.replace(config.flow, warp_engine="exact")
-                for s in range(0, bad.size, 8):
-                    sel = bad[s : s + 8]
-                    # Pad the index set so the exact path compiles once.
-                    idx = np.concatenate([sel, np.repeat(sel[-1:], 8 - len(sel))])
-                    ef = roi_body_flow(
-                        jnp.asarray(frames[idx]),
-                        jnp.asarray(frames[idx + 1]),
-                        jnp.asarray(ex_s[idx]),
-                        jnp.asarray(ey_s[idx]),
-                        masks_dev,
-                        exact,
+                if jax.default_backend() == "tpu" and (
+                    config.flow.warp_s_cap or config.flow.warp_d_max_y < 16
+                ):
+                    # Full-window tier: uncap the anchored span and
+                    # widen the lane-axis reach (slow path, but ~5x
+                    # faster than the exact gather engine).
+                    wide = dataclasses.replace(
+                        config.flow,
+                        warp_s_cap=0,
+                        warp_d_max_y=max(16, config.flow.warp_d_max_y),
                     )
-                    vx[sel] = np.array(ef.vx)[: len(sel)]
-                    vy[sel] = np.array(ef.vy)[: len(sel)]
-                    mg[sel] = np.array(ef.mag)[: len(sel)]
+                    still = []
+                    for s in range(0, bad.size, 8):
+                        sel = bad[s : s + 8]
+                        # Pad the index set so each tier compiles once.
+                        idx = np.concatenate([sel, np.repeat(sel[-1:], 8 - len(sel))])
+                        wf, wc = roi_body_flow_checked(
+                            jnp.asarray(frames[idx]),
+                            jnp.asarray(frames[idx + 1]),
+                            jnp.asarray(ex_s[idx]),
+                            jnp.asarray(ey_s[idx]),
+                            masks_dev,
+                            wide,
+                        )
+                        wcn = np.asarray(wc)[: len(sel)]
+                        okw = wcn == 0
+                        vx[sel[okw]] = np.array(wf.vx)[: len(sel)][okw]
+                        vy[sel[okw]] = np.array(wf.vy)[: len(sel)][okw]
+                        mg[sel[okw]] = np.array(wf.mag)[: len(sel)][okw]
+                        still.extend(sel[~okw])
+                    bad = np.array(still, dtype=np.int64)
+                if bad.size:
+                    logger.warning(
+                        "flow chunk @%d: %d pairs beyond the band reach; "
+                        "recomputing via exact engine", first, bad.size,
+                    )
+                    exact = dataclasses.replace(config.flow, warp_engine="exact")
+                    for s in range(0, bad.size, 8):
+                        sel = bad[s : s + 8]
+                        idx = np.concatenate([sel, np.repeat(sel[-1:], 8 - len(sel))])
+                        ef = roi_body_flow(
+                            jnp.asarray(frames[idx]),
+                            jnp.asarray(frames[idx + 1]),
+                            jnp.asarray(ex_s[idx]),
+                            jnp.asarray(ey_s[idx]),
+                            masks_dev,
+                            exact,
+                        )
+                        vx[sel] = np.array(ef.vx)[: len(sel)]
+                        vy[sel] = np.array(ef.vy)[: len(sel)]
+                        mg[sel] = np.array(ef.mag)[: len(sel)]
             inv = ~valid[:n_pairs]
             vx[inv] = np.nan
             vy[inv] = np.nan

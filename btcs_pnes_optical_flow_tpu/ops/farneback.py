@@ -441,7 +441,8 @@ def _select_update_matrices(params: FarnebackParams):
 
         return functools.partial(
             update_matrices_banded,
-            d_max=params.warp_d_max,
+            d_max_y=params.warp_d_max_y,
+            d_max_x=params.warp_d_max_x,
             base_max=params.warp_base_max,
         )
     return update_matrices

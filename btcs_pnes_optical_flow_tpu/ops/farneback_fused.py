@@ -27,7 +27,7 @@ drops ~2×.  The banded warp kernel reads pair b's warped-from planes
 from the stacked (N+1)-frame array at batch index b+1 (r1_offset).
 
 Every update_matrices call returns per-tile clip counts (pixels whose
-displacement strayed past warp_d_max / warp_s_cap of the tile mean —
+displacement strayed past warp_d_max_y/x or warp_s_cap of the tile mean —
 where the banded approximation breaks); the drivers aggregate them per
 pair so callers can detect and re-run affected pairs via the exact
 path instead of silently using corrupt flow.
@@ -36,6 +36,7 @@ path instead of silently using corrupt flow.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -52,6 +53,7 @@ from btcs_pnes_optical_flow_tpu.ops.farneback_pallas import (
     poly_exp_fused_cf,
     update_flow_fused_cf,
     update_matrices_banded_cf,
+    update_matrices_banded_tiles_cf,
 )
 
 
@@ -103,17 +105,51 @@ def _fused_level_loop(polys_of_level, n: int, h: int, w: int,
                 mode="edge",
             )
 
+        n_i = ht // _TH
+        n_j = wt // _TW
+        n_s_full = 2 * params.warp_d_max_x + 2
+        n_s1 = min(params.warp_s_cap, n_s_full) if params.warp_s_cap else n_s_full
+        dual = params.warp_dual_frac > 0 and n_s1 < n_s_full
         for _ in range(params.iterations):
             m, clip = update_matrices_banded_cf(
                 r0_cf, flow, r1p, hk, wk,
-                d_max=params.warp_d_max,
+                d_max_y=params.warp_d_max_y,
+                d_max_x=params.warp_d_max_x,
                 base_max=params.warp_base_max,
                 s_cap=params.warp_s_cap,
                 precision=params.warp_precision,
                 r1_offset=r1_offset,
                 interpret=interpret,
             )
-            clip_total = clip_total + jnp.sum(clip, axis=(1, 2))
+            clip_pair = jnp.sum(clip, axis=(1, 2))
+            if dual:
+                # Bucketed second window: re-visit the top-K clipped
+                # tiles with an independently-anchored window and merge
+                # (see update_matrices_banded_tiles_cf).  Residual clip
+                # = clips on unselected tiles + pass-2 leftovers.
+                total_tiles = n * n_i * n_j
+                kk = min(total_tiles, max(1, math.ceil(total_tiles * params.warp_dual_frac)))
+                flat_clip = clip.reshape(total_tiles)
+                _, sel = jax.lax.top_k(flat_clip, kk)
+                sel = sel.astype(jnp.int32)
+                m, clip2 = update_matrices_banded_tiles_cf(
+                    sel, m, r0_cf, flow, r1p, hk, wk,
+                    d_max_y=params.warp_d_max_y,
+                    d_max_x=params.warp_d_max_x,
+                    base_max=params.warp_base_max,
+                    n_s1=n_s1,
+                    s_cap=n_s1,
+                    precision=params.warp_precision,
+                    r1_offset=r1_offset,
+                    interpret=interpret,
+                )
+                b_of_sel = sel // (n_i * n_j)
+                covered = jnp.zeros((n,), jnp.int32).at[b_of_sel].add(
+                    jnp.take(flat_clip, sel)
+                )
+                resid2 = jnp.zeros((n,), jnp.int32).at[b_of_sel].add(clip2)
+                clip_pair = clip_pair - covered + resid2
+            clip_total = clip_total + clip_pair
             mp = pad_for_solve(m, hk, wk)
             flow = update_flow_fused_cf(
                 mp, hk, wk, params.winsize, params.gaussian_win, interpret=interpret
@@ -122,6 +158,66 @@ def _fused_level_loop(polys_of_level, n: int, h: int, w: int,
 
     out = jnp.moveaxis(flow[:, :, :h, :w], 1, -1)
     return out, clip_total
+
+
+def _transposed_params(params: FarnebackParams) -> FarnebackParams:
+    """Swap the per-axis warp reach for the (W, H)-layout run.
+
+    In transposed arrays the kernel's sublane candidate axis carries
+    image-x displacement and the lane axis image-y, so the configured
+    image-semantic reaches (warp_d_max_y/x) swap roles.
+    """
+    import dataclasses
+
+    return dataclasses.replace(
+        params,
+        warp_layout="native",
+        warp_d_max_y=params.warp_d_max_x,
+        warp_d_max_x=params.warp_d_max_y,
+    )
+
+
+def _pairs_impl(prev, curr, params, flow0, interpret):
+    n, h, w = prev.shape
+    p_f = prev.astype(jnp.float32)
+    c_f = curr.astype(jnp.float32)
+
+    def polys_of_level(k, hk, wk):
+        i0, _, _ = _level_image(p_f, k, params, h, w)
+        i1, _, _ = _level_image(c_f, k, params, h, w)
+        r0 = poly_exp_fused_cf(i0, params.poly_n, params.poly_sigma, interpret=interpret)
+        r1 = poly_exp_fused_cf(i1, params.poly_n, params.poly_sigma, interpret=interpret)
+        r1p = pad_for_band(
+            r1, hk, wk, params.warp_d_max_y, params.warp_d_max_x, params.warp_base_max
+        )
+        return r0, r1p, 0
+
+    return _fused_level_loop(polys_of_level, n, h, w, params, flow0, interpret)
+
+
+def _seq_impl(frames, params, flow0, interpret):
+    n1, h, w = frames.shape
+    n = n1 - 1
+    f_all = frames.astype(jnp.float32)
+
+    def polys_of_level(k, hk, wk):
+        lv, _, _ = _level_image(f_all, k, params, h, w)
+        p = poly_exp_fused_cf(lv, params.poly_n, params.poly_sigma, interpret=interpret)
+        # Pair b reads r0 from stacked frame b (block specs only touch
+        # the first n frames) and its warp band from frame b+1.
+        r1p = pad_for_band(
+            p, hk, wk, params.warp_d_max_y, params.warp_d_max_x, params.warp_base_max
+        )
+        return p, r1p, 1
+
+    return _fused_level_loop(polys_of_level, n, h, w, params, flow0, interpret)
+
+
+def _flow_t(flow: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
+    """(B, H, W, 2) (dx, dy) <-> (B, W, H, 2) (dy, dx) — an involution."""
+    if flow is None:
+        return None
+    return jnp.swapaxes(flow, -3, -2)[..., ::-1]
 
 
 @functools.partial(jax.jit, static_argnames=("params", "return_clip", "interpret"))
@@ -137,26 +233,30 @@ def farneback_flow_fused(
 
     prev, curr: (B, H, W); returns flow (B, H, W, 2) — plus per-pair
     clip counts (B,) int32 when return_clip is set (0 = banded warp was
-    exact vs the gather path; >0 = that pair needs the exact engine).
+    exact vs the gather path; >0 = that pair needs a wider window /
+    the exact engine).
+
+    With params.warp_layout == "transposed" (default) the whole pyramid
+    runs on (W, H) arrays — Farnebäck is exactly x<->y symmetric, so
+    only the output flow needs the spatial+channel swap back; see
+    config.FarnebackParams.warp_layout for why this is the fast layout.
     """
     squeeze = prev.ndim == 2
     if squeeze:
         prev, curr = prev[None], curr[None]
         if flow0 is not None and flow0.ndim == 3:
             flow0 = flow0[None]
-    n, h, w = prev.shape
-    p_f = prev.astype(jnp.float32)
-    c_f = curr.astype(jnp.float32)
-
-    def polys_of_level(k, hk, wk):
-        i0, _, _ = _level_image(p_f, k, params, h, w)
-        i1, _, _ = _level_image(c_f, k, params, h, w)
-        r0 = poly_exp_fused_cf(i0, params.poly_n, params.poly_sigma, interpret=interpret)
-        r1 = poly_exp_fused_cf(i1, params.poly_n, params.poly_sigma, interpret=interpret)
-        r1p = pad_for_band(r1, hk, wk, params.warp_d_max, params.warp_base_max)
-        return r0, r1p, 0
-
-    out, clips = _fused_level_loop(polys_of_level, n, h, w, params, flow0, interpret)
+    if params.warp_layout == "transposed":
+        out, clips = _pairs_impl(
+            jnp.swapaxes(prev, -1, -2),
+            jnp.swapaxes(curr, -1, -2),
+            _transposed_params(params),
+            _flow_t(flow0),
+            interpret,
+        )
+        out = _flow_t(out)
+    else:
+        out, clips = _pairs_impl(prev, curr, params, flow0, interpret)
     if squeeze:
         out = out[0]
         clips = clips[0]
@@ -179,18 +279,16 @@ def farneback_flow_seq(
     expansions of interior frames computed once instead of twice (each
     interior frame is `curr` of one pair and `prev` of the next,
     mirroring the reference's carried prev_gray, optical_flow.py:242).
+    Honors params.warp_layout like farneback_flow_fused.
     """
-    n1, h, w = frames.shape
-    n = n1 - 1
-    f_all = frames.astype(jnp.float32)
-
-    def polys_of_level(k, hk, wk):
-        lv, _, _ = _level_image(f_all, k, params, h, w)
-        p = poly_exp_fused_cf(lv, params.poly_n, params.poly_sigma, interpret=interpret)
-        # Pair b reads r0 from stacked frame b (block specs only touch
-        # the first n frames) and its warp band from frame b+1.
-        r1p = pad_for_band(p, hk, wk, params.warp_d_max, params.warp_base_max)
-        return p, r1p, 1
-
-    out, clips = _fused_level_loop(polys_of_level, n, h, w, params, flow0, interpret)
+    if params.warp_layout == "transposed":
+        out, clips = _seq_impl(
+            jnp.swapaxes(frames, -1, -2),
+            _transposed_params(params),
+            _flow_t(flow0),
+            interpret,
+        )
+        out = _flow_t(out)
+    else:
+        out, clips = _seq_impl(frames, params, flow0, interpret)
     return (out, clips) if return_clip else out

@@ -58,15 +58,26 @@ def _border_scale_vec(pos, size):
     return s
 
 
-def _band_dims(d_max: int):
-    """Aligned band extents for the warp kernel's per-tile DMA."""
-    band_h = -(-(_TH + 2 * d_max + 2 + 7) // 8) * 8
-    band_w = -(-(_TW + 2 * d_max + 2 + 127) // 128) * 128
+def _band_dims(d_max_y: int, d_max_x: int):
+    """Aligned band extents for the warp kernel's per-tile DMA.
+
+    The reachable window is asymmetric by design: tiles are short (32
+    rows) and wide (256 cols), so within-tile vertical flow variation
+    is much smaller than horizontal — separate d_max per axis keeps the
+    band (and its DMA traffic) tight while covering realistic motion.
+    """
+    band_h = -(-(_TH + 2 * d_max_y + 2 + 7) // 8) * 8
+    band_w = -(-(_TW + 2 * d_max_x + 2 + 127) // 128) * 128
     return band_h, band_w
 
 
 def pad_for_band(
-    r1_cf: jnp.ndarray, h: int, w: int, d_max: int = 4, base_max: int = 56
+    r1_cf: jnp.ndarray,
+    h: int,
+    w: int,
+    d_max_y: int = 8,
+    d_max_x: int = 16,
+    base_max: int = 56,
 ) -> jnp.ndarray:
     """Pad channel-first coefficients for the banded warp's DMA reads.
 
@@ -77,14 +88,15 @@ def pad_for_band(
     per pyramid level and reused across all warp iterations.
     """
     _, _, h0, w0 = r1_cf.shape
-    pad = base_max + d_max + 2
-    band_h, band_w = _band_dims(d_max)
+    pad_y = base_max + d_max_y + 2
+    pad_x = base_max + d_max_x + 2
+    band_h, band_w = _band_dims(d_max_y, d_max_x)
     ht = -(-h // _TH) * _TH
     wt = -(-w // _TW) * _TW
-    pad_bottom = max(0, ht - _TH + base_max - d_max + band_h + 2 - h0)
-    pad_right = max(0, wt - _TW + base_max - d_max + band_w + 2 - w0)
+    pad_bottom = max(0, ht - _TH + base_max - d_max_y + band_h + 2 - h0)
+    pad_right = max(0, wt - _TW + base_max - d_max_x + band_w + 2 - w0)
     return jnp.pad(
-        r1_cf, ((0, 0), (0, 0), (pad, pad_bottom), (pad, pad_right)), mode="edge"
+        r1_cf, ((0, 0), (0, 0), (pad_y, pad_bottom), (pad_x, pad_right)), mode="edge"
     )
 
 
@@ -93,39 +105,48 @@ def _make_kernel(
     w: int,
     hp: int,
     wp: int,
-    pad: int,
-    d_max: int,
+    pad_y: int,
+    pad_x: int,
+    d_max_y: int,
+    d_max_x: int,
     s_cap: int = 0,
     precision: str = "fp32",
     r1_offset: int = 0,
+    s_block: int = 4,
 ):
     """Build the fused warp+update kernel for static shapes.
 
-    h, w: true image size.  hp, wp: padded size of r1 (pad on each side
-    of both axes).  The flow/r0/M arrays use tile-padded grids.
+    h, w: true image size.  hp, wp: padded size of r1 (pad_y/pad_x on
+    the leading side of each axis).  The flow/r0/M arrays use
+    tile-padded grids.
 
-    s_cap > 0 restricts the horizontal candidate loop to `s_cap` slots
-    after re-anchoring the band at the tile's min candidate (an extra
-    dynamic lane roll) — pixels outside the span are clamped *and
+    The horizontal candidate loop is anchored at the tile's min live
+    candidate (an extra dynamic lane roll) and runs in predicated
+    4-slot blocks, so its cost tracks the tile's *actual* displacement
+    span rather than the full 2*d_max_x+2 static range — wide d_max_x
+    is nearly free for smooth tiles.  s_cap > 0 additionally hard-caps
+    the span; pixels outside any reachable window are clamped *and
     counted* in the clip output.  precision="bf16" runs the candidate
-    multiply-accumulates in bfloat16 (float32 outer accumulation).
+    multiply-accumulates in bfloat16 (float32 accumulation).
     r1_offset shifts the batch index of the band source (the
     frame-sequence driver passes the whole frame stack once and warps
     from frame b+1).
     """
-    r = d_max
     # Mosaic requires DMA slice shapes *and* start offsets aligned to
     # the (8, 128) VMEM tiling.  The band is over-sized to absorb both
     # the alignment slack (7 rows / 127 cols) and the window halo; the
     # unaligned remainder is corrected with dynamic rolls after the
     # copy (tpu.dynamic_rotate is cheap VPU data movement).
-    band_h, band_w = _band_dims(d_max)
-    n_t = 2 * r + 2 + 7
-    n_s_full = 2 * r + 2
-    n_s = s_cap if s_cap else n_s_full
+    band_h, band_w = _band_dims(d_max_y, d_max_x)
+    n_t = 2 * d_max_y + 2 + 7
+    n_s_full = 2 * d_max_x + 2
+    n_s = min(s_cap, n_s_full) if s_cap else n_s_full
+    # Horizontal predication block; 0 = flat (no per-block guards, one
+    # register accumulation chain over all n_s slots per t row).
+    _SB = s_block if s_block else n_s
     # Roll-margin proof: after rolling by (m_col + smin) <= 127 +
-    # (n_s_full - s_cap), circular wrap garbage occupies the last
-    # m_col + smin columns; reads go up to col (n_s - 1) + _TW - 1.
+    # n_s_full, circular wrap garbage occupies the last m_col + smin
+    # columns; reads go up to col (n_s - 1) + _TW - 1.
     # band_w >= _TW + 127 + n_s_full covers every case.
     assert band_w >= _TW + 127 + n_s_full
     wdt = jnp.bfloat16 if precision == "bf16" else jnp.float32
@@ -146,8 +167,8 @@ def _make_kernel(
             rest = flat_idx // n_j
             ti_ = rest % n_i
             bb_ = rest // n_i
-            row0_ = jnp.clip(ti_ * _TH + by_ref[flat_idx] - r + pad, 0, hp - band_h)
-            col0_ = jnp.clip(tj_ * _TW + bx_ref[flat_idx] - r + pad, 0, wp - band_w)
+            row0_ = jnp.clip(ti_ * _TH + by_ref[flat_idx] - d_max_y + pad_y, 0, hp - band_h)
+            col0_ = jnp.clip(tj_ * _TW + bx_ref[flat_idx] - d_max_x + pad_x, 0, wp - band_w)
             row0a_ = pl.multiple_of((row0_ // 8) * 8, 8)
             col0a_ = pl.multiple_of((col0_ // 128) * 128, 128)
             return bb_, row0_, col0_, row0a_, col0a_
@@ -196,74 +217,92 @@ def _make_kernel(
         live = inside & (ii < h) & (jj < w)
 
         # Band-relative candidate indices.  Rows are relative to the
-        # *aligned* start (m_row slack widens the range to 0..2r+8);
-        # columns are relative to the rolled (exact) start: 0..2r+1.
-        t_raw = y1i - ii + (y0g - (row0a - pad))
+        # *aligned* start (row slack widens the range to 0..2*d_y+8);
+        # columns are relative to the span-anchored rolled start.
+        t_raw = y1i - ii + (y0g - (row0a - pad_y))
         t_idx = jnp.clip(t_raw, 0, n_t - 1)
-        s_raw = x1i - jj + (x0g - (col0 - pad))
+        s_raw = x1i - jj + (x0g - (col0 - pad_x))
         s_full = jnp.clip(s_raw, 0, n_s_full - 1)
-        if s_cap:
-            # Re-anchor the band at the tile's min live candidate so the
-            # inner loop only walks s_cap slots (the span of a smooth
-            # flow within one tile is small).
-            smin = jnp.min(jnp.where(live, s_full, n_s_full - 1))
-            smin = jnp.clip(smin, 0, n_s_full - s_cap)
-            roll_shift = -(m_col + smin)
-            s_idx = jnp.clip(s_full - smin, 0, n_s - 1)
-            s_over = (s_raw != s_full) | (s_full - smin != s_idx)
-        else:
-            roll_shift = -m_col
-            s_idx = s_full
-            s_over = s_raw != s_full
+        # Anchor the horizontal window at the tile's min live candidate
+        # so the MAC loop walks the tile's *actual* span from slot 0.
+        smin = jnp.min(jnp.where(live, s_full, n_s_full - 1))
+        smin = jnp.clip(smin, 0, max(n_s_full - n_s, 0))
+        roll_shift = -(m_col + smin)
+        s_idx = jnp.clip(s_full - smin, 0, n_s - 1)
+        s_over = (s_raw != s_full) | (s_full - smin != s_idx)
 
         # Clipped candidates mean the banded approximation was violated
-        # (per-pixel displacement strayed > d_max from the tile mean, or
-        # past the s_cap span): count them so callers can fall back to
-        # the exact path instead of silently returning corrupt M.
+        # (per-pixel displacement strayed past d_max_y/d_max_x of the
+        # tile mean, or past the s_cap span): count them so callers can
+        # fall back to the exact path instead of silently returning
+        # corrupt M.
         n_clip = jnp.sum((live & ((t_raw != t_idx) | s_over)).astype(jnp.int32))
         clip_ref[0, ti, tj] = n_clip
 
-        # Lane alignment (0..127, plus the span anchor when s_cap is
-        # set) is corrected with a single dynamic lane roll over the
-        # channel-stacked band (verified exact; 2D lane rolls are the
-        # only dynamic rolls Mosaic compiles correctly — sublane and 3D
-        # rolls miscompile).  The 0..7-row alignment slack is absorbed
-        # into the vertical candidate range.
+        # Lane alignment (0..127, plus the span anchor) is corrected
+        # with a single dynamic lane roll over the channel-stacked band
+        # (verified exact; 2D lane rolls are the only dynamic rolls
+        # Mosaic compiles correctly — sublane and 3D rolls miscompile).
+        # The 0..7-row alignment slack is absorbed into the vertical
+        # candidate range.
         rolled = pltpu.roll(band.reshape(5 * band_h, band_w), shift=roll_shift, axis=1)
         if precision == "bf16":
             rolled = rolled.astype(jnp.bfloat16)
         bandv = [rolled[c * band_h : (c + 1) * band_h] for c in range(5)]
 
         # Sparse predicated accumulation: a tile's pixels only ever hit
-        # candidates in [min(t_idx), max(t_idx)+1] × the s window
-        # (typically ~3×3 of the full static range), so each t term is
-        # guarded by a *scalar* pl.when — skipped terms cost a branch,
-        # not 5 vector MACs.
-        tmin = jnp.min(t_idx)
-        tmax = jnp.max(t_idx)
+        # candidates in [min(t_idx), max(t_idx)+1] × [0, smax+1]
+        # (typically ~3×3 of the full static range), so each t row and
+        # each 4-slot s block is guarded by a *scalar* pl.when — wide
+        # static d_max ranges cost branches, not vector MACs.
+        live_t = jnp.where(live, t_idx, -1)
+        tmin = jnp.min(jnp.where(live, t_idx, n_t - 1))
+        tmax = jnp.max(live_t)
+        smin_b = jnp.min(jnp.where(live, s_idx, n_s - 1))
+        smax = jnp.max(jnp.where(live, s_idx, 0))
         acc5[...] = jnp.zeros((5, _TH, _TW), jnp.float32)
-        # Horizontal one-hot weights are shared across t; hoist them.
-        wxs = []
-        for sv in range(n_s):
-            wx = jnp.where(s_idx == sv, 1.0 - ax, 0.0)
-            if sv >= 1:
-                wx = wx + jnp.where(s_idx == sv - 1, ax, 0.0)
-            wxs.append(wx.astype(wdt))
-        for t in range(n_t):
+        axw = ax.astype(wdt)
+        one_m_axw = (1.0 - ax).astype(wdt)
+        # Loops run one slot/row past the window (range n_t+1 / n_s+1):
+        # a pixel whose floor corner sits on the LAST slot still needs
+        # its +1 bilinear corner from the next slot — without the
+        # extension that term is silently dropped for displacements in
+        # the (d_max, d_max+1] boundary shell (uncounted by the clip
+        # detector, whose contract is floor-corner-in-window).  Band
+        # margins cover the extra read (see the roll-margin proof).
+        for t in range(n_t + 1):
 
             @pl.when((t >= tmin) & (t <= tmax + 1))
             def _(t=t):
-                wy = jnp.where(t_idx == t, 1.0 - ay, 0.0)
+                wy = jnp.where(t_idx == t, 1.0 - ay, 0.0) if t < n_t else (
+                    jnp.zeros((_TH, _TW), jnp.float32)
+                )
                 if t >= 1:
                     wy = wy + jnp.where(t_idx == t - 1, ay, 0.0)
-                # Register-accumulated inner loop over the (small) live
-                # horizontal range; one VMEM RMW per (t, channel).
-                inner = [jnp.zeros((_TH, _TW), wdt) for _ in range(5)]
-                for sv in range(n_s):
-                    for c in range(5):
-                        inner[c] = inner[c] + wxs[sv] * bandv[c][t : t + _TH, sv : sv + _TW]
-                for c in range(5):
-                    acc5[c] += wy * inner[c].astype(jnp.float32)
+                for sb in range(0, n_s + 1, _SB):
+
+                    # A block touches live weights iff some live s_idx
+                    # falls in [sb-1, sb+_SB-1] (each slot sv reads
+                    # s_idx == sv and sv-1) — two-sided guard, so with
+                    # the window un-anchored (s_cap = 0) dead blocks
+                    # below the live span are skipped too.
+                    @pl.when((sb <= smax + 1) & (smin_b < sb + _SB))
+                    def _(t=t, sb=sb):
+                        # Register-accumulated inner block; one VMEM
+                        # RMW per (t, block, channel).
+                        inner = [jnp.zeros((_TH, _TW), wdt) for _ in range(5)]
+                        for sv in range(sb, min(sb + _SB, n_s + 1)):
+                            wx = (
+                                jnp.where(s_idx == sv, one_m_axw, jnp.zeros((), wdt))
+                                if sv < n_s
+                                else jnp.zeros((_TH, _TW), wdt)
+                            )
+                            if sv >= 1:
+                                wx = wx + jnp.where(s_idx == sv - 1, axw, jnp.zeros((), wdt))
+                            for c in range(5):
+                                inner[c] = inner[c] + wx * bandv[c][t : t + _TH, sv : sv + _TW]
+                        for c in range(5):
+                            acc5[c] += wy * inner[c].astype(jnp.float32)
 
         r2s = acc5[0]
         r3s = acc5[1]
@@ -303,11 +342,13 @@ def update_matrices_banded_cf(
     r1p: jnp.ndarray,
     h: int,
     w: int,
-    d_max: int = 4,
+    d_max_y: int = 8,
+    d_max_x: int = 16,
     base_max: int = 56,
     s_cap: int = 0,
     precision: str = "fp32",
     r1_offset: int = 0,
+    s_block: int = 4,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Channel-first banded warp + normal-equation update (Pallas).
@@ -334,7 +375,8 @@ def update_matrices_banded_cf(
     b = flow_cf.shape[0]
     ht = -(-h // _TH) * _TH
     wt = -(-w // _TW) * _TW
-    pad = base_max + d_max + 2
+    pad_y = base_max + d_max_y + 2
+    pad_x = base_max + d_max_x + 2
     for name, arr, hh, ww in (("r0_cf", r0_cf, ht, wt), ("flow_cf", flow_cf, ht, wt)):
         if arr.shape[-2] % _TH or arr.shape[-1] % _TW or arr.shape[-2] < hh or arr.shape[-1] < ww:
             raise ValueError(
@@ -344,7 +386,8 @@ def update_matrices_banded_cf(
     hp, wp = r1p.shape[-2], r1p.shape[-1]
 
     kernel, band_h, band_w = _make_kernel(
-        h, w, hp, wp, pad, d_max, s_cap=s_cap, precision=precision, r1_offset=r1_offset
+        h, w, hp, wp, pad_y, pad_x, d_max_y, d_max_x,
+        s_cap=s_cap, precision=precision, r1_offset=r1_offset, s_block=s_block,
     )
     n_i = ht // _TH
     n_j = wt // _TW
@@ -408,17 +451,22 @@ def update_matrices_banded_cf(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("d_max", "base_max", "s_cap", "precision", "return_clip", "interpret"),
+    static_argnames=(
+        "d_max_y", "d_max_x", "base_max", "s_cap", "precision", "return_clip",
+        "s_block", "interpret",
+    ),
 )
 def update_matrices_banded(
     r0: jnp.ndarray,
     r1: jnp.ndarray,
     flow: jnp.ndarray,
-    d_max: int = 4,
+    d_max_y: int = 8,
+    d_max_x: int = 16,
     base_max: int = 56,
     s_cap: int = 0,
     precision: str = "fp32",
     return_clip: bool = False,
+    s_block: int = 4,
     interpret: bool = False,
 ):
     """Fused banded warp + normal-equation update (channel-last API).
@@ -427,11 +475,12 @@ def update_matrices_banded(
     Returns M (B, H, W, 5) — and the per-tile clip counts
     (B, n_i, n_j) when return_clip is set.  Matches
     ops.farneback.update_matrices up to the banded-warp approximation
-    (exact whenever each pixel's displacement is within ``d_max`` of
-    its tile's mean displacement, |mean| <= base_max, and — with
-    s_cap > 0 — the horizontal candidate span fits s_cap); violations
-    are reported in the clip counts.  The production driver
-    (farneback_fused) uses the channel-first core directly.
+    (exact whenever each pixel's displacement is within
+    ``(d_max_y, d_max_x)`` of its tile's mean displacement,
+    |mean| <= base_max, and — with s_cap > 0 — the horizontal candidate
+    span fits s_cap); violations are reported in the clip counts.  The
+    production driver (farneback_fused) uses the channel-first core
+    directly.
     """
     b, h, w, _ = r0.shape
     ht = -(-h // _TH) * _TH
@@ -442,15 +491,411 @@ def update_matrices_banded(
     # Tile-pad the true-grid arrays (edge mode keeps values finite).
     r0p = jnp.pad(r0t, ((0, 0), (0, 0), (0, ht - h), (0, wt - w)), mode="edge")
     fp = jnp.pad(ft, ((0, 0), (0, 0), (0, ht - h), (0, wt - w)), mode="edge")
-    r1p = pad_for_band(jnp.moveaxis(r1, -1, 1), h, w, d_max, base_max)
+    r1p = pad_for_band(jnp.moveaxis(r1, -1, 1), h, w, d_max_y, d_max_x, base_max)
 
     out, clip = update_matrices_banded_cf(
         r0p, fp, r1p, h, w,
-        d_max=d_max, base_max=base_max, s_cap=s_cap, precision=precision,
-        interpret=interpret,
+        d_max_y=d_max_y, d_max_x=d_max_x, base_max=base_max, s_cap=s_cap,
+        precision=precision, s_block=s_block, interpret=interpret,
     )
     m = jnp.moveaxis(out[:, :, :h, :w], 1, -1)
     return (m, clip) if return_clip else m
+
+
+# ---------------------------------------------------------------------------
+# Bucketed second-window pass ("dual window")
+# ---------------------------------------------------------------------------
+#
+# The warp kernel's horizontal candidate loop has a hard perf cliff past
+# ~16 executed slots (scripts/profile_um_micro.py, docs/PERFORMANCE.md),
+# but motion-boundary tiles on violent clips need spans up to ~30.  The
+# TPU-native answer is compaction: pass 1 runs the fast 16-slot anchored
+# window over every tile and reports per-tile clip counts; the driver
+# top-k-selects the clipped tiles and this second kernel re-visits ONLY
+# those (grid = K flat tile ids via scalar prefetch, all block index
+# maps dynamic), computing a second 16-slot window anchored at the
+# *uncovered* pixels' min candidate and merging per pixel with pass 1's
+# M planes.  Static cost stays under the cliff; total cost scales with
+# the actual violation volume (typically ~10% of tiles), and bimodal
+# tiles (static background + fast limb) are covered exactly by the two
+# independently-anchored windows.
+
+
+def _make_kernel2(
+    h: int,
+    w: int,
+    hp: int,
+    wp: int,
+    pad_y: int,
+    pad_x: int,
+    d_max_y: int,
+    d_max_x: int,
+    n_s1: int,
+    s_cap: int,
+    precision: str = "fp32",
+    r1_offset: int = 0,
+):
+    """Second-window warp kernel over a compacted tile list.
+
+    n_s1: the slot-window width pass 1 executed (its coverage mask is
+    re-derived here bit-identically).  The second window is s_cap slots
+    anchored at the min candidate of pixels pass 1 missed.
+    """
+    band_h, band_w = _band_dims(d_max_y, d_max_x)
+    n_t = 2 * d_max_y + 2 + 7
+    n_s_full = 2 * d_max_x + 2
+    n_s = min(s_cap, n_s_full) if s_cap else n_s_full
+    assert band_w >= _TW + 127 + n_s_full
+    wdt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+    def kernel(
+        sel_ref, by1_ref, bx1_ref, by2_ref, bx2_ref, r0_ref, flow_ref, m1_ref, r1_ref,
+        m_ref, clip_ref, band2, acc5, sem2, *, n_i, n_j, total,
+    ):
+        step = pl.program_id(0)
+
+        def tile_geometry(flat_idx):
+            # Pass-2 DMA geometry from the *second* base set (anchored
+            # at the pixels pass 1 missed, both axes).
+            tj_ = flat_idx % n_j
+            rest = flat_idx // n_j
+            ti_ = rest % n_i
+            bb_ = rest // n_i
+            row0_ = jnp.clip(ti_ * _TH + by2_ref[flat_idx] - d_max_y + pad_y, 0, hp - band_h)
+            col0_ = jnp.clip(tj_ * _TW + bx2_ref[flat_idx] - d_max_x + pad_x, 0, wp - band_w)
+            row0a_ = pl.multiple_of((row0_ // 8) * 8, 8)
+            col0a_ = pl.multiple_of((col0_ // 128) * 128, 128)
+            return bb_, ti_, tj_, row0_, col0_, row0a_, col0a_
+
+        def band_dma(step_, slot):
+            flat = sel_ref[step_]
+            bb_, _, _, _, _, row0a_, col0a_ = tile_geometry(flat)
+            return pltpu.make_async_copy(
+                r1_ref.at[bb_ + r1_offset, :, pl.ds(row0a_, band_h), pl.ds(col0a_, band_w)],
+                band2.at[slot],
+                sem2.at[slot],
+            )
+
+        cur = step % 2
+
+        @pl.when(step == 0)
+        def _():
+            band_dma(step, cur).start()
+
+        @pl.when(step + 1 < total)
+        def _():
+            band_dma(step + 1, (step + 1) % 2).start()
+
+        band_dma(step, cur).wait()
+
+        flat_idx = sel_ref[step]
+        _, ti, tj, row0, col0, row0a, col0a = tile_geometry(flat_idx)
+        y0g = ti * _TH
+        x0g = tj * _TW
+        m_col = col0 - col0a
+        band = band2[cur]
+        fx = flow_ref[0, 0]
+        fy = flow_ref[0, 1]
+
+        ii = jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 0) + y0g
+        jj = jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 1) + x0g
+        gx = jj.astype(jnp.float32) + fx
+        gy = ii.astype(jnp.float32) + fy
+        x1f = jnp.floor(gx)
+        y1f = jnp.floor(gy)
+        ax = gx - x1f
+        ay = gy - y1f
+        x1i = x1f.astype(jnp.int32)
+        y1i = y1f.astype(jnp.int32)
+        inside = (x1i >= 0) & (x1i < w - 1) & (y1i >= 0) & (y1i < h - 1)
+        live = inside & (ii < h) & (jj < w)
+
+        # Pass 1's coverage, re-derived bit-identically from base set 1.
+        row0_1 = jnp.clip(y0g + by1_ref[flat_idx] - d_max_y + pad_y, 0, hp - band_h)
+        row0a_1 = (row0_1 // 8) * 8
+        col0_1 = jnp.clip(x0g + bx1_ref[flat_idx] - d_max_x + pad_x, 0, wp - band_w)
+        t_raw1 = y1i - ii + (y0g - (row0a_1 - pad_y))
+        t_ok1 = (t_raw1 >= 0) & (t_raw1 <= n_t - 1)
+        s_raw1 = x1i - jj + (x0g - (col0_1 - pad_x))
+        s_ok1 = (s_raw1 >= 0) & (s_raw1 <= n_s_full - 1)
+        s_full1 = jnp.clip(s_raw1, 0, n_s_full - 1)
+        smin1 = jnp.min(jnp.where(live, s_full1, n_s_full - 1))
+        smin1 = jnp.clip(smin1, 0, max(n_s_full - n_s1, 0))
+        in_w1 = s_ok1 & (s_full1 - smin1 >= 0) & (s_full1 - smin1 <= n_s1 - 1)
+        covered1 = live & t_ok1 & in_w1
+
+        # Pass 2's own candidates from base set 2.
+        t_raw = y1i - ii + (y0g - (row0a - pad_y))
+        t_idx = jnp.clip(t_raw, 0, n_t - 1)
+        t_ok = t_raw == t_idx
+        s_raw = x1i - jj + (x0g - (col0 - pad_x))
+        s_full = jnp.clip(s_raw, 0, n_s_full - 1)
+        s_ok_band = s_raw == s_full
+
+        # Second window anchored at the min candidate of missed pixels.
+        missed = live & ~covered1 & s_ok_band
+        smin2 = jnp.min(jnp.where(missed, s_full, n_s_full - 1))
+        smin2 = jnp.clip(smin2, 0, max(n_s_full - n_s, 0))
+        roll_shift = -(m_col + smin2)
+        s_idx = jnp.clip(s_full - smin2, 0, n_s - 1)
+        in_w2 = s_ok_band & (s_full - smin2 >= 0) & (s_full - smin2 <= n_s - 1)
+        covered2 = live & t_ok & in_w2
+
+        n_clip = jnp.sum((live & ~(covered1 | covered2)).astype(jnp.int32))
+        clip_ref[step] = n_clip
+
+        rolled = pltpu.roll(band.reshape(5 * band_h, band_w), shift=roll_shift, axis=1)
+        if precision == "bf16":
+            rolled = rolled.astype(jnp.bfloat16)
+        bandv = [rolled[c * band_h : (c + 1) * band_h] for c in range(5)]
+
+        live2 = missed & t_ok
+        live_t = jnp.where(live2, t_idx, -1)
+        tmin = jnp.min(jnp.where(live2, t_idx, n_t - 1))
+        tmax = jnp.max(live_t)
+        smin_b = jnp.min(jnp.where(live2, s_idx, n_s - 1))
+        smax = jnp.max(jnp.where(live2, s_idx, 0))
+        acc5[...] = jnp.zeros((5, _TH, _TW), jnp.float32)
+        axw = ax.astype(wdt)
+        one_m_axw = (1.0 - ax).astype(wdt)
+        _SB = 4
+        # One extra slot/row for the +1 bilinear corners of last-slot
+        # pixels (same boundary-shell rule as pass 1).
+        for t in range(n_t + 1):
+
+            @pl.when((t >= tmin) & (t <= tmax + 1))
+            def _(t=t):
+                wy = jnp.where(t_idx == t, 1.0 - ay, 0.0) if t < n_t else (
+                    jnp.zeros((_TH, _TW), jnp.float32)
+                )
+                if t >= 1:
+                    wy = wy + jnp.where(t_idx == t - 1, ay, 0.0)
+                for sb in range(0, n_s + 1, _SB):
+
+                    @pl.when((sb <= smax + 1) & (smin_b < sb + _SB))
+                    def _(t=t, sb=sb):
+                        inner = [jnp.zeros((_TH, _TW), wdt) for _ in range(5)]
+                        for sv in range(sb, min(sb + _SB, n_s + 1)):
+                            wx = (
+                                jnp.where(s_idx == sv, one_m_axw, jnp.zeros((), wdt))
+                                if sv < n_s
+                                else jnp.zeros((_TH, _TW), wdt)
+                            )
+                            if sv >= 1:
+                                wx = wx + jnp.where(s_idx == sv - 1, axw, jnp.zeros((), wdt))
+                            for c in range(5):
+                                inner[c] = inner[c] + wx * bandv[c][t : t + _TH, sv : sv + _TW]
+                        for c in range(5):
+                            acc5[c] += wy * inner[c].astype(jnp.float32)
+
+        r2s = acc5[0]
+        r3s = acc5[1]
+        r4s = acc5[2]
+        r5s = acc5[3]
+        r6s = acc5[4]
+        r0b = r0_ref[0]
+        r4 = jnp.where(inside, (r0b[2] + r4s) * 0.5, r0b[2])
+        r5 = jnp.where(inside, (r0b[3] + r5s) * 0.5, r0b[3])
+        r6 = jnp.where(inside, (r0b[4] + r6s) * 0.25, r0b[4] * 0.5)
+        r2 = (r0b[0] - jnp.where(inside, r2s, 0.0)) * 0.5
+        r3 = (r0b[1] - jnp.where(inside, r3s, 0.0)) * 0.5
+        r2 = r2 + r4 * fy + r6 * fx
+        r3 = r3 + r6 * fy + r5 * fx
+
+        scale = _border_scale_vec(ii, h) * _border_scale_vec(jj, w)
+        r2 = r2 * scale
+        r3 = r3 * scale
+        r4 = r4 * scale
+        r5 = r5 * scale
+        r6 = r6 * scale
+
+        m1 = m1_ref[0]
+        m_ref[0, 0] = jnp.where(covered1, m1[0], r4 * r4 + r6 * r6)
+        m_ref[0, 1] = jnp.where(covered1, m1[1], (r4 + r5) * r6)
+        m_ref[0, 2] = jnp.where(covered1, m1[2], r5 * r5 + r6 * r6)
+        m_ref[0, 3] = jnp.where(covered1, m1[3], r4 * r2 + r6 * r3)
+        m_ref[0, 4] = jnp.where(covered1, m1[4], r6 * r2 + r5 * r3)
+
+    return kernel, band_h, band_w
+
+
+def update_matrices_banded_tiles_cf(
+    sel: jnp.ndarray,
+    m1: jnp.ndarray,
+    r0_cf: jnp.ndarray,
+    flow_cf: jnp.ndarray,
+    r1p: jnp.ndarray,
+    h: int,
+    w: int,
+    d_max_y: int = 8,
+    d_max_x: int = 16,
+    base_max: int = 56,
+    n_s1: int = 16,
+    s_cap: int = 16,
+    precision: str = "fp32",
+    r1_offset: int = 0,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Second-window pass over the K tiles listed in ``sel``.
+
+    sel: (K,) int32 flat tile ids ((b * n_i + i) * n_j + j) — typically
+    the top-K clipped tiles of pass 1 (duplicate-free; clean tiles are
+    valid no-ops).  m1: pass 1's (B, 5, ht, wt) output.  Returns the
+    merged M (same buffer semantics as pass 1: selected tiles merged
+    per pixel, all others untouched) and (K,) residual clip counts.
+    """
+    b = flow_cf.shape[0]
+    ht = -(-h // _TH) * _TH
+    wt = -(-w // _TW) * _TW
+    pad_y = base_max + d_max_y + 2
+    pad_x = base_max + d_max_x + 2
+    hp, wp = r1p.shape[-2], r1p.shape[-1]
+    n_i = ht // _TH
+    n_j = wt // _TW
+    k = sel.shape[0]
+    band_h_, band_w_ = _band_dims(d_max_y, d_max_x)
+    n_t = 2 * d_max_y + 2 + 7
+    n_s_full = 2 * d_max_x + 2
+
+    f = flow_cf[:, :, :ht, :wt]
+    ftiles = f.reshape(b, 2, n_i, _TH, n_j, _TW)
+    bases = jnp.round(jnp.mean(ftiles, axis=(3, 5))).astype(jnp.int32)
+    bases = jnp.clip(bases, -base_max, base_max)
+    bx1 = bases[:, 0]  # (b, n_i, n_j)
+    by1 = bases[:, 1]
+
+    # --- second base set: anchor at the pixels pass 1 missed -----------
+    # Pure elementwise XLA (no gathers): replicate the kernel's integer
+    # coverage rule for base set 1, then take per-tile minima of the
+    # uncovered pixels' floor candidates on both axes.
+    ii = jax.lax.broadcasted_iota(jnp.int32, (ht, wt), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (ht, wt), 1)
+    x1i = jnp.floor(jj.astype(jnp.float32) + f[:, 0]).astype(jnp.int32)
+    y1i = jnp.floor(ii.astype(jnp.float32) + f[:, 1]).astype(jnp.int32)
+    live = (
+        (x1i >= 0) & (x1i < w - 1) & (y1i >= 0) & (y1i < h - 1)
+        & (ii < h)[None] & (jj < w)[None]
+    )
+    dev_y = y1i - ii
+    dev_x = x1i - jj
+
+    def tiled(a):  # (b, ht, wt) -> (b, n_i, _TH, n_j, _TW)
+        return a.reshape(b, n_i, _TH, n_j, _TW)
+
+    y0g = (jnp.arange(n_i) * _TH)[None, :, None]  # (1, n_i, 1)
+    x0g = (jnp.arange(n_j) * _TW)[None, None, :]
+    row0_1 = jnp.clip(y0g + by1 - d_max_y + pad_y, 0, hp - band_h_)
+    row0a_1 = (row0_1 // 8) * 8
+    off_t = y0g - (row0a_1 - pad_y)  # (b, n_i, n_j)
+    col0_1 = jnp.clip(x0g + bx1 - d_max_x + pad_x, 0, wp - band_w_)
+    off_s = x0g - (col0_1 - pad_x)
+
+    dev_y_t = tiled(dev_y)
+    dev_x_t = tiled(dev_x)
+    live_t = tiled(live)
+    t_raw1 = dev_y_t + off_t[:, :, None, :, None]
+    t_ok1 = (t_raw1 >= 0) & (t_raw1 <= n_t - 1)
+    s_raw1 = dev_x_t + off_s[:, :, None, :, None]
+    s_ok1 = (s_raw1 >= 0) & (s_raw1 <= n_s_full - 1)
+    s_full1 = jnp.clip(s_raw1, 0, n_s_full - 1)
+    smin1 = jnp.min(
+        jnp.where(live_t, s_full1, n_s_full - 1), axis=(2, 4)
+    )
+    smin1 = jnp.clip(smin1, 0, max(n_s_full - n_s1, 0))
+    in_w1 = (
+        s_ok1
+        & (s_full1 - smin1[:, :, None, :, None] >= 0)
+        & (s_full1 - smin1[:, :, None, :, None] <= n_s1 - 1)
+    )
+    missed = live_t & ~(t_ok1 & in_w1)
+    big = jnp.int32(1 << 20)
+    by2 = jnp.min(jnp.where(missed, dev_y_t, big), axis=(2, 4)) + d_max_y
+    bx2 = jnp.min(jnp.where(missed, dev_x_t, big), axis=(2, 4)) + d_max_x
+    any_missed = jnp.any(missed, axis=(2, 4))
+    by2 = jnp.where(any_missed, jnp.clip(by2, -base_max, base_max), by1)
+    bx2 = jnp.where(any_missed, jnp.clip(bx2, -base_max, base_max), bx1)
+
+    by1_flat = by1.reshape(-1)
+    bx1_flat = bx1.reshape(-1)
+    by2_flat = by2.reshape(-1).astype(jnp.int32)
+    bx2_flat = bx2.reshape(-1).astype(jnp.int32)
+
+    kernel, band_h, band_w = _make_kernel2(
+        h, w, hp, wp, pad_y, pad_x, d_max_y, d_max_x,
+        n_s1=n_s1, s_cap=s_cap, precision=precision, r1_offset=r1_offset,
+    )
+
+    def tile_of(step, sel_ref, *base_refs):
+        flat = sel_ref[step]
+        tj = flat % n_j
+        rest = flat // n_j
+        ti = rest % n_i
+        bb = rest // n_i
+        return bb, ti, tj
+
+    out, clip = pl.pallas_call(
+        functools.partial(kernel, n_i=n_i, n_j=n_j, total=k),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 5, ht, wt), jnp.float32),
+            jax.ShapeDtypeStruct((k,), jnp.int32),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(k,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 5, _TH, _TW),
+                    lambda s, *refs: (
+                        tile_of(s, *refs)[0], 0,
+                        tile_of(s, *refs)[1],
+                        tile_of(s, *refs)[2],
+                    ),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 2, _TH, _TW),
+                    lambda s, *refs: (
+                        tile_of(s, *refs)[0], 0,
+                        tile_of(s, *refs)[1],
+                        tile_of(s, *refs)[2],
+                    ),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 5, _TH, _TW),
+                    lambda s, *refs: (
+                        tile_of(s, *refs)[0], 0,
+                        tile_of(s, *refs)[1],
+                        tile_of(s, *refs)[2],
+                    ),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),  # full r1, DMA'd per tile
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (1, 5, _TH, _TW),
+                    lambda s, *refs: (
+                        tile_of(s, *refs)[0], 0,
+                        tile_of(s, *refs)[1],
+                        tile_of(s, *refs)[2],
+                    ),
+                    memory_space=pltpu.VMEM,
+                ),
+                # Whole (K,) vector as one resident SMEM block (TPU
+                # rejects size-1 rank-1 blocks); written at [step].
+                pl.BlockSpec((k,), lambda s, *refs: (0,), memory_space=pltpu.SMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, 5, band_h, band_w), jnp.float32),
+                pltpu.VMEM((5, _TH, _TW), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        input_output_aliases={7: 0},
+        interpret=interpret,
+    )(sel, by1_flat, bx1_flat, by2_flat, bx2_flat, r0_cf, flow_cf, m1, r1p)
+    return out, clip
 
 
 # ---------------------------------------------------------------------------

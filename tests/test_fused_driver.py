@@ -99,14 +99,26 @@ def test_banded_clip_detects_high_shear(rng):
     r0 = jnp.asarray(rng.normal(size=(1, h, w, 5)).astype(np.float32))
     r1 = jnp.asarray(rng.normal(size=(1, h, w, 5)).astype(np.float32))
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    # ±19 px horizontal deviation within a 32-row tile (> d_max_x=16)
+    # and ±19 px vertical within a 256-col tile (> d_max_y=8).
     flow_rot = jnp.asarray(
-        np.stack([(yy - h / 2) * 0.6, -(xx - w / 2) * 0.08], -1)[None]
+        np.stack([(yy - h / 2) * 1.2, -(xx - w / 2) * 0.15], -1)[None]
     )
     m, clip = update_matrices_banded(r0, r1, flow_rot, return_clip=True, interpret=True)
     m_ref = np.asarray(update_matrices(r0, r1, flow_rot))
     corrupt = np.abs(np.asarray(m) - m_ref).max() > 1.0
     assert corrupt  # the banded approximation really is violated here...
     assert int(np.asarray(clip).sum()) > 0  # ...and the kernel reports it
+
+    # Round 1's actual adversarial reproducer (~20 px spread across one
+    # tile) sat just past the old symmetric d_max=4 and corrupted 22% of
+    # pixels silently; the asymmetric window now covers it *exactly*.
+    flow_mod = jnp.asarray(np.stack([(xx - w / 2) * 0.078, 0 * yy], -1)[None])
+    m3, clip3 = update_matrices_banded(r0, r1, flow_mod, return_clip=True, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(m3), np.asarray(update_matrices(r0, r1, flow_mod)), atol=2e-5
+    )
+    assert int(np.asarray(clip3).sum()) == 0
 
     # A smooth flow stays exact and clip-free.
     flow_s = jnp.asarray(
@@ -141,3 +153,46 @@ def test_fused_use_initial_flow(rng):
     )
     out = np.asarray(farneback_flow_fused(p, c, params, f0, interpret=True))
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_dual_window_covers_bimodal_flow(rng):
+    """Bucketed second window: bimodal motion (static background + fast
+    region spanning ~27 slots) exceeds the anchored span cap, but the
+    top-K re-visit with uncovered-anchored bases must recover it
+    exactly — and account every pixel it cannot (none here)."""
+
+    import jax
+
+    from btcs_pnes_optical_flow_tpu.ops.farneback_pallas import (
+        pad_for_band,
+        update_matrices_banded_cf,
+        update_matrices_banded_tiles_cf,
+    )
+
+    B, H, W = 1, 64, 512
+    r0 = rng.standard_normal((B, H, W, 5)).astype(np.float32)
+    r1 = rng.standard_normal((B, H, W, 5)).astype(np.float32)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    blob = np.exp(-(((xx - 256) / 60.0) ** 2 + ((yy - 32) / 20.0) ** 2))
+    flow = np.stack([25.0 * blob, 3.0 * blob], -1)[None].astype(np.float32)
+
+    d_y, d_x, cap = 8, 16, 14
+    r0t = jnp.moveaxis(jnp.asarray(r0), -1, 1)
+    ft = jnp.moveaxis(jnp.asarray(flow), -1, 1)
+    r1p = pad_for_band(jnp.moveaxis(jnp.asarray(r1), -1, 1), H, W, d_y, d_x)
+    m1, clip1 = update_matrices_banded_cf(
+        r0t, ft, r1p, H, W, d_max_y=d_y, d_max_x=d_x, s_cap=cap, interpret=True
+    )
+    assert int(np.asarray(clip1).sum()) > 0  # cap really is exceeded
+
+    total = int(np.prod(clip1.shape))
+    flat = clip1.reshape(total)
+    _, sel = jax.lax.top_k(flat, total)  # full budget for the test
+    m2, clip2 = update_matrices_banded_tiles_cf(
+        sel.astype(jnp.int32), m1, r0t, ft, r1p, H, W,
+        d_max_y=d_y, d_max_x=d_x, n_s1=cap, s_cap=cap, interpret=True,
+    )
+    assert int(np.asarray(clip2).sum()) == 0  # second window covers all
+    m_ref = np.asarray(update_matrices(jnp.asarray(r0), jnp.asarray(r1), jnp.asarray(flow)))
+    got = np.moveaxis(np.asarray(m2)[:, :, :H, :W], 1, -1)
+    np.testing.assert_allclose(got, m_ref, atol=1e-4)

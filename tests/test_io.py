@@ -137,3 +137,64 @@ def test_native_y4m_rejects_variable_markers(tmp_path, rng):
             f.write(fr.tobytes())
     with pytest.raises((RuntimeError, ValueError, OSError)):
         NativeSource(p)
+
+
+def test_mjpeg_avi_native_decode(tmp_path, rng):
+    """Native RIFF walk + PIL JPEG decode must match cv2.VideoCapture
+    on a real MJPEG AVI (written by OpenCV, read without it)."""
+    cv2 = pytest.importorskip("cv2")
+    from btcs_pnes_optical_flow_tpu.dataio.codecs import MJPEGAviSource
+
+    h, w, n = 48, 64, 6
+    # Gray content in all three channels: flat chroma removes the
+    # 4:2:0 upsampling-filter differences between libjpeg consumers, so
+    # the comparison isolates the container walk + luma decode.
+    g1 = rng.integers(0, 256, (n, h, w, 1)).astype(np.uint8)
+    frames = np.repeat(g1, 3, axis=-1)
+    p = str(tmp_path / "clip.avi")
+    vw = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"MJPG"), 25.0, (w, h))
+    assert vw.isOpened()
+    for fr in frames:
+        vw.write(fr)
+    vw.release()
+
+    src = MJPEGAviSource(p)
+    assert src.n_frames == n
+    assert (src.width, src.height) == (w, h)
+    assert abs(src.fps - 25.0) < 1e-6
+    got = [(f, pm) for f, pm in src.frames()]
+    assert len(got) == n
+    # pos_msec is reported after each read, frame i at (i+1)/fps.
+    assert abs(got[0][1] - 40.0) < 1e-6
+
+    cap = cv2.VideoCapture(p)
+    for i, (g, _) in enumerate(got):
+        ok, bgr = cap.read()
+        assert ok
+        want = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY)
+        # Same JPEG bitstream; PIL vs cv2 differ only in luma rounding
+        # (ITU 601 in both) and IDCT implementation: ±2 levels.
+        assert np.abs(g.astype(int) - want.astype(int)).max() <= 2
+    cap.release()
+
+
+def test_open_source_prefers_cv2_free_decoder(tmp_path, rng):
+    """open_source must route .avi files to the native decoder (no
+    cv2 required on the production input path)."""
+    cv2 = pytest.importorskip("cv2")
+    from btcs_pnes_optical_flow_tpu.dataio.codecs import (
+        MJPEGAviSource,
+        ffmpeg_binary,
+    )
+    from btcs_pnes_optical_flow_tpu.dataio.video import open_source
+
+    if ffmpeg_binary() is not None:
+        pytest.skip("ffmpeg present: dispatch prefers FFmpegSource")
+    h, w = 32, 32
+    p = str(tmp_path / "d.avi")
+    vw = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"MJPG"), 30.0, (w, h))
+    for _ in range(3):
+        vw.write(rng.integers(0, 256, (h, w, 3)).astype(np.uint8))
+    vw.release()
+    src = open_source(p)
+    assert isinstance(src, MJPEGAviSource)
