@@ -103,9 +103,7 @@ def main(chunk: int = None):
     # escalation tier (production semantics of run_flow_stage — pairs
     # that clip the span re-run with the full window, so the timed
     # region below includes that cost honestly).
-    wide = dataclasses.replace(
-        cfg.flow, warp_s_cap=0, warp_d_max_y=max(16, cfg.flow.warp_d_max_y)
-    )
+    wide = dataclasses.replace(cfg.flow, warp_dual_frac=1.0, warp_dual_passes=4)
     out = roi_body_flow_seq(chunks[0], exd, eyd, masks, cfg.flow)
     force(out)
     wf = roi_body_flow_checked(
@@ -233,9 +231,9 @@ def bench_cohort():
         items.append(CohortItem(name=f"v{v}", video=clip, skeleton=skel, roi_polygons=[roi]))
 
     # Warmup: compile the chunk shapes once outside the timed region.
-    run_cohort(items[:1], chunk_pairs=64)
+    run_cohort(items[:1], chunk_pairs=128)
     t0 = time.perf_counter()
-    df = run_cohort(items, chunk_pairs=64)
+    df = run_cohort(items, chunk_pairs=128)
     dt = time.perf_counter() - t0
     total_frames = n_videos * n_frames
     assert int((df["status"] >= 0).sum()) == n_videos

@@ -95,15 +95,17 @@ class FarnebackParams:
     # accumulation): ~2x VPU throughput at ~1e-2 px EPE vs the fp32
     # banded path (still far under the 0.1 px reference contract).
     warp_precision: str = "fp32"
-    # Dual-window escalation budget: after the fast anchored pass, the
-    # top ceil(frac * n_tiles) most-clipped tiles are re-visited by a
-    # second 16-slot window anchored at the *uncovered* pixels' min
-    # candidate (ops/farneback_pallas.update_matrices_banded_tiles_cf)
-    # and merged per pixel — two independently-anchored windows cover
-    # bimodal motion-boundary tiles exactly, at a cost proportional to
-    # the violation volume instead of the window width.  0 disables
-    # (clips then escalate per pair via the pipeline tiers).
+    # Multi-window escalation budget: after the fast anchored pass,
+    # each follow-up pass re-visits the top ceil(frac * n_tiles) most-
+    # clipped tiles with a fresh window anchored at the pixels every
+    # previous window missed (ops/farneback_pallas.
+    # update_matrices_banded_tiles_cf), merged per pixel — a chain of
+    # independently-anchored windows covers multi-modal motion-boundary
+    # tiles exactly, at a cost proportional to the violation volume
+    # instead of the window width.  frac = 0 disables (clips then
+    # escalate per pair via the pipeline tiers).
     warp_dual_frac: float = 0.125
+    warp_dual_passes: int = 2
 
     def num_levels(self, height: int, width: int, min_size: int = 32) -> int:
         """Number of *extra* pyramid levels actually used.

@@ -129,15 +129,17 @@ def run_flow_stage(
                     "escalating", first, bad.size, n_pairs,
                 )
                 if jax.default_backend() == "tpu" and (
-                    config.flow.warp_s_cap or config.flow.warp_d_max_y < 16
+                    config.flow.warp_dual_frac < 1.0
+                    or config.flow.warp_dual_passes < 4
                 ):
-                    # Full-window tier: uncap the anchored span and
-                    # widen the lane-axis reach (slow path, but ~5x
-                    # faster than the exact gather engine).
+                    # Deep multi-window tier: full tile budget and a
+                    # longer window chain — stays under the kernel's
+                    # slot cliff, unlike a single wide window, and is
+                    # ~25x faster than the exact gather engine.
                     wide = dataclasses.replace(
                         config.flow,
-                        warp_s_cap=0,
-                        warp_d_max_y=max(16, config.flow.warp_d_max_y),
+                        warp_dual_frac=1.0,
+                        warp_dual_passes=max(4, config.flow.warp_dual_passes),
                     )
                     still = []
                     for s in range(0, bad.size, 8):

@@ -54,6 +54,7 @@ from btcs_pnes_optical_flow_tpu.ops.farneback_pallas import (
     update_flow_fused_cf,
     update_matrices_banded_cf,
     update_matrices_banded_tiles_cf,
+    window_from_residuals,
 )
 
 
@@ -109,9 +110,9 @@ def _fused_level_loop(polys_of_level, n: int, h: int, w: int,
         n_j = wt // _TW
         n_s_full = 2 * params.warp_d_max_x + 2
         n_s1 = min(params.warp_s_cap, n_s_full) if params.warp_s_cap else n_s_full
-        dual = params.warp_dual_frac > 0 and n_s1 < n_s_full
+        n_passes = params.warp_dual_passes if params.warp_dual_frac > 0 else 0
         for _ in range(params.iterations):
-            m, clip = update_matrices_banded_cf(
+            m, clip, (bases1, smin1, rmdy, rmdx) = update_matrices_banded_cf(
                 r0_cf, flow, r1p, hk, wk,
                 d_max_y=params.warp_d_max_y,
                 d_max_x=params.warp_d_max_x,
@@ -121,34 +122,58 @@ def _fused_level_loop(polys_of_level, n: int, h: int, w: int,
                 r1_offset=r1_offset,
                 interpret=interpret,
             )
-            clip_pair = jnp.sum(clip, axis=(1, 2))
-            if dual:
-                # Bucketed second window: re-visit the top-K clipped
-                # tiles with an independently-anchored window and merge
-                # (see update_matrices_banded_tiles_cf).  Residual clip
-                # = clips on unselected tiles + pass-2 leftovers.
+            if n_passes:
+                # Bucketed follow-up windows: each pass re-visits the
+                # top-K residual tiles with a fresh window anchored at
+                # the pixels every previous window missed, merging in
+                # place (update_matrices_banded_tiles_cf).  Per-tile
+                # residual counts/anchors chain through kernel scalar
+                # outputs — no coverage planes.
                 total_tiles = n * n_i * n_j
-                kk = min(total_tiles, max(1, math.ceil(total_tiles * params.warp_dual_frac)))
-                flat_clip = clip.reshape(total_tiles)
-                _, sel = jax.lax.top_k(flat_clip, kk)
-                sel = sel.astype(jnp.int32)
-                m, clip2 = update_matrices_banded_tiles_cf(
-                    sel, m, r0_cf, flow, r1p, hk, wk,
-                    d_max_y=params.warp_d_max_y,
-                    d_max_x=params.warp_d_max_x,
-                    base_max=params.warp_base_max,
-                    n_s1=n_s1,
-                    s_cap=n_s1,
-                    precision=params.warp_precision,
-                    r1_offset=r1_offset,
-                    interpret=interpret,
+                kk = min(
+                    total_tiles, max(1, math.ceil(total_tiles * params.warp_dual_frac))
                 )
-                b_of_sel = sel // (n_i * n_j)
-                covered = jnp.zeros((n,), jnp.int32).at[b_of_sel].add(
-                    jnp.take(flat_clip, sel)
-                )
-                resid2 = jnp.zeros((n,), jnp.int32).at[b_of_sel].add(clip2)
-                clip_pair = clip_pair - covered + resid2
+                u = clip.reshape(total_tiles)
+                mdy = rmdy.reshape(total_tiles)
+                mdx = rmdx.reshape(total_tiles)
+                prev = [(
+                    bases1[:, 1].reshape(total_tiles),
+                    bases1[:, 0].reshape(total_tiles),
+                    smin1.reshape(total_tiles),
+                    jnp.ones((total_tiles,), jnp.int32),
+                    n_s1,
+                )]
+                for _p in range(n_passes):
+                    _, sel = jax.lax.top_k(u, kk)
+                    sel = sel.astype(jnp.int32)
+                    cur = window_from_residuals(
+                        mdy, mdx,
+                        params.warp_d_max_y, params.warp_d_max_x,
+                        params.warp_base_max, n_s1,
+                    )
+                    m, clip_k, rmdy_k, rmdx_k = update_matrices_banded_tiles_cf(
+                        sel, m, r0_cf, flow, r1p, hk, wk,
+                        cur_window=cur,
+                        prev_windows=prev,
+                        d_max_y=params.warp_d_max_y,
+                        d_max_x=params.warp_d_max_x,
+                        base_max=params.warp_base_max,
+                        s_cap=n_s1,
+                        precision=params.warp_precision,
+                        r1_offset=r1_offset,
+                        interpret=interpret,
+                    )
+                    u = u.at[sel].set(clip_k)
+                    mdy = mdy.at[sel].set(rmdy_k)
+                    mdx = mdx.at[sel].set(rmdx_k)
+                    prev.append((
+                        cur[0], cur[1], cur[2],
+                        jnp.zeros((total_tiles,), jnp.int32).at[sel].set(1),
+                        n_s1,
+                    ))
+                clip_pair = jnp.sum(u.reshape(n, n_i * n_j), axis=1)
+            else:
+                clip_pair = jnp.sum(clip, axis=(1, 2))
             clip_total = clip_total + clip_pair
             mp = pad_for_solve(m, hk, wk)
             flow = update_flow_fused_cf(

@@ -152,7 +152,9 @@ def _make_kernel(
     wdt = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
     def kernel(
-        by_ref, bx_ref, r0_ref, flow_ref, r1_ref, m_ref, clip_ref, band2, acc5, sem2, *, n_i, n_j
+        by_ref, bx_ref, r0_ref, flow_ref, r1_ref,
+        m_ref, clip_ref, smin_ref, rmdy_ref, rmdx_ref,
+        band2, acc5, sem2, *, n_i, n_j,
     ):
         bb = pl.program_id(0)
         ti = pl.program_id(1)
@@ -233,11 +235,18 @@ def _make_kernel(
 
         # Clipped candidates mean the banded approximation was violated
         # (per-pixel displacement strayed past d_max_y/d_max_x of the
-        # tile mean, or past the s_cap span): count them so callers can
-        # fall back to the exact path instead of silently returning
-        # corrupt M.
-        n_clip = jnp.sum((live & ((t_raw != t_idx) | s_over)).astype(jnp.int32))
+        # tile mean, or past the s_cap span): count them, and export the
+        # per-tile window anchor plus the *missed* pixels' min floor
+        # candidates, so the multi-pass driver can re-anchor follow-up
+        # windows and re-derive this window's coverage from scalars
+        # alone (update_matrices_banded_multi_cf).
+        missed = live & ((t_raw != t_idx) | s_over)
+        n_clip = jnp.sum(missed.astype(jnp.int32))
         clip_ref[0, ti, tj] = n_clip
+        smin_ref[0, ti, tj] = smin
+        big = jnp.int32(1 << 20)
+        rmdy_ref[0, ti, tj] = jnp.min(jnp.where(missed, y1i - ii, big))
+        rmdx_ref[0, ti, tj] = jnp.min(jnp.where(missed, x1i - jj, big))
 
         # Lane alignment (0..127, plus the span anchor) is corrected
         # with a single dynamic lane roll over the channel-stacked band
@@ -366,10 +375,14 @@ def update_matrices_banded_cf(
     flow_cf: (B, 2, Hf, Wf), true flow in [:h, :w]; padding values must
         be finite/representative (they enter the per-tile base means).
     r1p: (B + r1_offset, 5, hp, wp) from pad_for_band.
-    Returns (M (B, 5, ht, wt), clip (B, n_i, n_j) int32).  M matches
+    Returns (M (B, 5, ht, wt), clip (B, n_i, n_j) int32, aux) where
+    aux = (bases (B, 2, n_i, n_j), smin, resid_min_dy, resid_min_dx)
+    — the per-tile window anchors and the missed pixels' min floor
+    candidates (sentinel 1<<20 when a tile missed nothing), which the
+    multi-pass driver uses to anchor follow-up windows.  M matches
     ops.farneback.update_matrices on the true grid whenever clip == 0;
-    nonzero clip marks tiles whose pixels strayed past d_max/s_cap of
-    the tile's mean displacement (the caller should re-run those via
+    nonzero clip marks tiles whose pixels strayed past the reachable
+    window (re-visit via update_matrices_banded_tiles_cf or re-run via
     the exact path).
     """
     b = flow_cf.shape[0]
@@ -401,10 +414,22 @@ def update_matrices_banded_cf(
     bx_flat = bases[:, 0].reshape(-1)
     by_flat = bases[:, 1].reshape(-1)
 
-    out, clip = pl.pallas_call(
+    # One (n_i, n_j) SMEM block per batch item (written at dynamic tile
+    # indices; TPU requires SMEM blocks to span the trailing dims).
+    def smem_tile_spec():
+        return pl.BlockSpec(
+            (1, n_i, n_j),
+            lambda bb, i, j, *refs: (bb, 0, 0),
+            memory_space=pltpu.SMEM,
+        )
+
+    out, clip, smin_t, rmdy, rmdx = pl.pallas_call(
         functools.partial(kernel, n_i=n_i, n_j=n_j),
         out_shape=(
             jax.ShapeDtypeStruct((b, 5, ht, wt), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_i, n_j), jnp.int32),
+            jax.ShapeDtypeStruct((b, n_i, n_j), jnp.int32),
+            jax.ShapeDtypeStruct((b, n_i, n_j), jnp.int32),
             jax.ShapeDtypeStruct((b, n_i, n_j), jnp.int32),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -429,14 +454,10 @@ def update_matrices_banded_cf(
                     lambda bb, i, j, *refs: (bb, 0, i, j),
                     memory_space=pltpu.VMEM,
                 ),
-                # One (n_i, n_j) SMEM block per batch item (written at
-                # dynamic tile indices; TPU requires SMEM blocks to span
-                # the trailing dims).
-                pl.BlockSpec(
-                    (1, n_i, n_j),
-                    lambda bb, i, j, *refs: (bb, 0, 0),
-                    memory_space=pltpu.SMEM,
-                ),
+                smem_tile_spec(),
+                smem_tile_spec(),
+                smem_tile_spec(),
+                smem_tile_spec(),
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, 5, band_h, band_w), jnp.float32),
@@ -446,7 +467,7 @@ def update_matrices_banded_cf(
         ),
         interpret=interpret,
     )(by_flat, bx_flat, r0_cf, flow_cf, r1p)
-    return out, clip
+    return out, clip, (bases, smin_t, rmdy, rmdx)
 
 
 @functools.partial(
@@ -493,7 +514,7 @@ def update_matrices_banded(
     fp = jnp.pad(ft, ((0, 0), (0, 0), (0, ht - h), (0, wt - w)), mode="edge")
     r1p = pad_for_band(jnp.moveaxis(r1, -1, 1), h, w, d_max_y, d_max_x, base_max)
 
-    out, clip = update_matrices_banded_cf(
+    out, clip, _aux = update_matrices_banded_cf(
         r0p, fp, r1p, h, w,
         d_max_y=d_max_y, d_max_x=d_max_x, base_max=base_max, s_cap=s_cap,
         precision=precision, s_block=s_block, interpret=interpret,
@@ -503,22 +524,26 @@ def update_matrices_banded(
 
 
 # ---------------------------------------------------------------------------
-# Bucketed second-window pass ("dual window")
+# Bucketed follow-up window passes ("multi-window")
 # ---------------------------------------------------------------------------
 #
 # The warp kernel's horizontal candidate loop has a hard perf cliff past
-# ~16 executed slots (scripts/profile_um_micro.py, docs/PERFORMANCE.md),
-# but motion-boundary tiles on violent clips need spans up to ~30.  The
-# TPU-native answer is compaction: pass 1 runs the fast 16-slot anchored
-# window over every tile and reports per-tile clip counts; the driver
-# top-k-selects the clipped tiles and this second kernel re-visits ONLY
-# those (grid = K flat tile ids via scalar prefetch, all block index
-# maps dynamic), computing a second 16-slot window anchored at the
-# *uncovered* pixels' min candidate and merging per pixel with pass 1's
-# M planes.  Static cost stays under the cliff; total cost scales with
-# the actual violation volume (typically ~10% of tiles), and bimodal
-# tiles (static background + fast limb) are covered exactly by the two
-# independently-anchored windows.
+# ~400 static slot instances (scripts/profile_um_micro.py,
+# docs/PERFORMANCE.md), but motion-boundary tiles on violent clips need
+# displacement spans far wider than one under-cliff window.  The
+# TPU-native answer is compaction: the main pass runs the fast anchored
+# window over every tile and exports per-tile clip counts plus the
+# *missed* pixels' min floor candidates; the driver top-k-selects the
+# clipped tiles and this follow-up kernel re-visits ONLY those (grid =
+# K flat tile ids via scalar prefetch, all block index maps dynamic),
+# with a fresh window anchored at the missed pixels on BOTH axes,
+# merging per pixel with the previous M (aliased in place).  Chaining
+# passes covers arbitrarily multi-modal tiles; static cost stays under
+# the cliff and total cost scales with the actual violation volume.
+#
+# Bookkeeping is scalar-only: every pass re-derives previous passes'
+# per-pixel coverage inside the kernel from (by, bx, smin, visited)
+# per-tile scalars — no coverage planes ever touch HBM.
 
 
 def _make_kernel2(
@@ -530,39 +555,42 @@ def _make_kernel2(
     pad_x: int,
     d_max_y: int,
     d_max_x: int,
-    n_s1: int,
+    prev_n_s: tuple,
     s_cap: int,
     precision: str = "fp32",
     r1_offset: int = 0,
 ):
-    """Second-window warp kernel over a compacted tile list.
+    """Follow-up-window warp kernel over a compacted tile list.
 
-    n_s1: the slot-window width pass 1 executed (its coverage mask is
-    re-derived here bit-identically).  The second window is s_cap slots
-    anchored at the min candidate of pixels pass 1 missed.
+    prev_n_s: static slot-window widths of the previous passes, oldest
+    first — their coverage is re-derived per pixel from the prefetched
+    per-tile scalars (4 arrays per previous pass: by, bx, smin,
+    visited).  The current window is s_cap slots anchored via the
+    prefetched (by_cur, bx_cur, smin_cur).
     """
     band_h, band_w = _band_dims(d_max_y, d_max_x)
     n_t = 2 * d_max_y + 2 + 7
     n_s_full = 2 * d_max_x + 2
     n_s = min(s_cap, n_s_full) if s_cap else n_s_full
+    n_prev = len(prev_n_s)
     assert band_w >= _TW + 127 + n_s_full
     wdt = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
-    def kernel(
-        sel_ref, by1_ref, bx1_ref, by2_ref, bx2_ref, r0_ref, flow_ref, m1_ref, r1_ref,
-        m_ref, clip_ref, band2, acc5, sem2, *, n_i, n_j, total,
-    ):
+    def kernel(*refs, n_i, n_j, total):
+        (sel_ref, by_ref, bx_ref, smin_ref) = refs[:4]
+        prev_refs = [refs[4 + 4 * q : 8 + 4 * q] for q in range(n_prev)]
+        (r0_ref, flow_ref, m1_ref, r1_ref,
+         m_ref, clip_ref, rmdy_ref, rmdx_ref,
+         band2, acc5, sem2) = refs[4 + 4 * n_prev :]
         step = pl.program_id(0)
 
         def tile_geometry(flat_idx):
-            # Pass-2 DMA geometry from the *second* base set (anchored
-            # at the pixels pass 1 missed, both axes).
             tj_ = flat_idx % n_j
             rest = flat_idx // n_j
             ti_ = rest % n_i
             bb_ = rest // n_i
-            row0_ = jnp.clip(ti_ * _TH + by2_ref[flat_idx] - d_max_y + pad_y, 0, hp - band_h)
-            col0_ = jnp.clip(tj_ * _TW + bx2_ref[flat_idx] - d_max_x + pad_x, 0, wp - band_w)
+            row0_ = jnp.clip(ti_ * _TH + by_ref[flat_idx] - d_max_y + pad_y, 0, hp - band_h)
+            col0_ = jnp.clip(tj_ * _TW + bx_ref[flat_idx] - d_max_x + pad_x, 0, wp - band_w)
             row0a_ = pl.multiple_of((row0_ // 8) * 8, 8)
             col0a_ = pl.multiple_of((col0_ // 128) * 128, 128)
             return bb_, ti_, tj_, row0_, col0_, row0a_, col0a_
@@ -609,46 +637,56 @@ def _make_kernel2(
         y1i = y1f.astype(jnp.int32)
         inside = (x1i >= 0) & (x1i < w - 1) & (y1i >= 0) & (y1i < h - 1)
         live = inside & (ii < h) & (jj < w)
+        dev_y = y1i - ii
+        dev_x = x1i - jj
 
-        # Pass 1's coverage, re-derived bit-identically from base set 1.
-        row0_1 = jnp.clip(y0g + by1_ref[flat_idx] - d_max_y + pad_y, 0, hp - band_h)
-        row0a_1 = (row0_1 // 8) * 8
-        col0_1 = jnp.clip(x0g + bx1_ref[flat_idx] - d_max_x + pad_x, 0, wp - band_w)
-        t_raw1 = y1i - ii + (y0g - (row0a_1 - pad_y))
-        t_ok1 = (t_raw1 >= 0) & (t_raw1 <= n_t - 1)
-        s_raw1 = x1i - jj + (x0g - (col0_1 - pad_x))
-        s_ok1 = (s_raw1 >= 0) & (s_raw1 <= n_s_full - 1)
-        s_full1 = jnp.clip(s_raw1, 0, n_s_full - 1)
-        smin1 = jnp.min(jnp.where(live, s_full1, n_s_full - 1))
-        smin1 = jnp.clip(smin1, 0, max(n_s_full - n_s1, 0))
-        in_w1 = s_ok1 & (s_full1 - smin1 >= 0) & (s_full1 - smin1 <= n_s1 - 1)
-        covered1 = live & t_ok1 & in_w1
+        def window_coverage(by_v, bx_v, smin_v, n_s_q):
+            """Per-pixel membership of the (by_v, bx_v, smin_v) window,
+            bit-identical to the pass that executed it."""
+            row0_q = jnp.clip(y0g + by_v - d_max_y + pad_y, 0, hp - band_h)
+            row0a_q = (row0_q // 8) * 8
+            t_raw_q = dev_y + (y0g - (row0a_q - pad_y))
+            t_ok_q = (t_raw_q >= 0) & (t_raw_q <= n_t - 1)
+            col0_q = jnp.clip(x0g + bx_v - d_max_x + pad_x, 0, wp - band_w)
+            s_raw_q = dev_x + (x0g - (col0_q - pad_x))
+            s_ok_q = (s_raw_q >= 0) & (s_raw_q <= n_s_full - 1)
+            d_q = s_raw_q - smin_v
+            return t_ok_q & s_ok_q & (d_q >= 0) & (d_q <= n_s_q - 1)
 
-        # Pass 2's own candidates from base set 2.
-        t_raw = y1i - ii + (y0g - (row0a - pad_y))
+        cov_prev = jnp.zeros((_TH, _TW), jnp.bool_)
+        for q in range(n_prev):
+            by_q, bx_q, smin_q, vis_q = prev_refs[q]
+            cov_q = window_coverage(
+                by_q[flat_idx], bx_q[flat_idx], smin_q[flat_idx], prev_n_s[q]
+            )
+            cov_prev = cov_prev | (cov_q & (vis_q[flat_idx] > 0))
+        cov_prev = live & cov_prev
+
+        # Current window (anchor smin precomputed by the driver).
+        smin2 = smin_ref[flat_idx]
+        t_raw = dev_y + (y0g - (row0a - pad_y))
         t_idx = jnp.clip(t_raw, 0, n_t - 1)
         t_ok = t_raw == t_idx
-        s_raw = x1i - jj + (x0g - (col0 - pad_x))
+        s_raw = dev_x + (x0g - (col0 - pad_x))
         s_full = jnp.clip(s_raw, 0, n_s_full - 1)
         s_ok_band = s_raw == s_full
-
-        # Second window anchored at the min candidate of missed pixels.
-        missed = live & ~covered1 & s_ok_band
-        smin2 = jnp.min(jnp.where(missed, s_full, n_s_full - 1))
-        smin2 = jnp.clip(smin2, 0, max(n_s_full - n_s, 0))
         roll_shift = -(m_col + smin2)
         s_idx = jnp.clip(s_full - smin2, 0, n_s - 1)
         in_w2 = s_ok_band & (s_full - smin2 >= 0) & (s_full - smin2 <= n_s - 1)
         covered2 = live & t_ok & in_w2
 
-        n_clip = jnp.sum((live & ~(covered1 | covered2)).astype(jnp.int32))
-        clip_ref[step] = n_clip
+        resid = live & ~(cov_prev | covered2)
+        clip_ref[step] = jnp.sum(resid.astype(jnp.int32))
+        big = jnp.int32(1 << 20)
+        rmdy_ref[step] = jnp.min(jnp.where(resid, dev_y, big))
+        rmdx_ref[step] = jnp.min(jnp.where(resid, dev_x, big))
 
         rolled = pltpu.roll(band.reshape(5 * band_h, band_w), shift=roll_shift, axis=1)
         if precision == "bf16":
             rolled = rolled.astype(jnp.bfloat16)
         bandv = [rolled[c * band_h : (c + 1) * band_h] for c in range(5)]
 
+        missed = live & ~cov_prev
         live2 = missed & t_ok
         live_t = jnp.where(live2, t_idx, -1)
         tmin = jnp.min(jnp.where(live2, t_idx, n_t - 1))
@@ -660,7 +698,7 @@ def _make_kernel2(
         one_m_axw = (1.0 - ax).astype(wdt)
         _SB = 4
         # One extra slot/row for the +1 bilinear corners of last-slot
-        # pixels (same boundary-shell rule as pass 1).
+        # pixels (same boundary-shell rule as the main pass).
         for t in range(n_t + 1):
 
             @pl.when((t >= tmin) & (t <= tmax + 1))
@@ -710,11 +748,11 @@ def _make_kernel2(
         r6 = r6 * scale
 
         m1 = m1_ref[0]
-        m_ref[0, 0] = jnp.where(covered1, m1[0], r4 * r4 + r6 * r6)
-        m_ref[0, 1] = jnp.where(covered1, m1[1], (r4 + r5) * r6)
-        m_ref[0, 2] = jnp.where(covered1, m1[2], r5 * r5 + r6 * r6)
-        m_ref[0, 3] = jnp.where(covered1, m1[3], r4 * r2 + r6 * r3)
-        m_ref[0, 4] = jnp.where(covered1, m1[4], r6 * r2 + r5 * r3)
+        m_ref[0, 0] = jnp.where(cov_prev, m1[0], r4 * r4 + r6 * r6)
+        m_ref[0, 1] = jnp.where(cov_prev, m1[1], (r4 + r5) * r6)
+        m_ref[0, 2] = jnp.where(cov_prev, m1[2], r5 * r5 + r6 * r6)
+        m_ref[0, 3] = jnp.where(cov_prev, m1[3], r4 * r2 + r6 * r3)
+        m_ref[0, 4] = jnp.where(cov_prev, m1[4], r6 * r2 + r5 * r3)
 
     return kernel, band_h, band_w
 
@@ -727,22 +765,29 @@ def update_matrices_banded_tiles_cf(
     r1p: jnp.ndarray,
     h: int,
     w: int,
+    cur_window,
+    prev_windows,
     d_max_y: int = 8,
     d_max_x: int = 16,
     base_max: int = 56,
-    n_s1: int = 16,
-    s_cap: int = 16,
+    s_cap: int = 14,
     precision: str = "fp32",
     r1_offset: int = 0,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Second-window pass over the K tiles listed in ``sel``.
+):
+    """One follow-up window pass over the K tiles listed in ``sel``.
 
     sel: (K,) int32 flat tile ids ((b * n_i + i) * n_j + j) — typically
-    the top-K clipped tiles of pass 1 (duplicate-free; clean tiles are
-    valid no-ops).  m1: pass 1's (B, 5, ht, wt) output.  Returns the
-    merged M (same buffer semantics as pass 1: selected tiles merged
-    per pixel, all others untouched) and (K,) residual clip counts.
+    the top-K residual tiles (duplicate-free; clean tiles are valid
+    no-ops).  m1: the previous M (B, 5, ht, wt).
+    cur_window: (by, bx, smin) — (T,) int32 per-tile anchor scalars of
+    THIS pass (T = B * n_i * n_j), usually from window_from_residuals.
+    prev_windows: sequence of (by, bx, smin, visited, n_s) describing
+    every previous pass's window (visited: (T,) int32 0/1; n_s: its
+    static slot width).
+    Returns (merged M, clip (K,), resid_min_dy (K,), resid_min_dx (K,))
+    — the merged buffer keeps every unselected tile untouched (aliased
+    in place), and the residual outputs feed the next pass's anchors.
     """
     b = flow_cf.shape[0]
     ht = -(-h // _TH) * _TH
@@ -753,137 +798,62 @@ def update_matrices_banded_tiles_cf(
     n_i = ht // _TH
     n_j = wt // _TW
     k = sel.shape[0]
-    band_h_, band_w_ = _band_dims(d_max_y, d_max_x)
-    n_t = 2 * d_max_y + 2 + 7
-    n_s_full = 2 * d_max_x + 2
-
-    f = flow_cf[:, :, :ht, :wt]
-    ftiles = f.reshape(b, 2, n_i, _TH, n_j, _TW)
-    bases = jnp.round(jnp.mean(ftiles, axis=(3, 5))).astype(jnp.int32)
-    bases = jnp.clip(bases, -base_max, base_max)
-    bx1 = bases[:, 0]  # (b, n_i, n_j)
-    by1 = bases[:, 1]
-
-    # --- second base set: anchor at the pixels pass 1 missed -----------
-    # Pure elementwise XLA (no gathers): replicate the kernel's integer
-    # coverage rule for base set 1, then take per-tile minima of the
-    # uncovered pixels' floor candidates on both axes.
-    ii = jax.lax.broadcasted_iota(jnp.int32, (ht, wt), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (ht, wt), 1)
-    x1i = jnp.floor(jj.astype(jnp.float32) + f[:, 0]).astype(jnp.int32)
-    y1i = jnp.floor(ii.astype(jnp.float32) + f[:, 1]).astype(jnp.int32)
-    live = (
-        (x1i >= 0) & (x1i < w - 1) & (y1i >= 0) & (y1i < h - 1)
-        & (ii < h)[None] & (jj < w)[None]
-    )
-    dev_y = y1i - ii
-    dev_x = x1i - jj
-
-    def tiled(a):  # (b, ht, wt) -> (b, n_i, _TH, n_j, _TW)
-        return a.reshape(b, n_i, _TH, n_j, _TW)
-
-    y0g = (jnp.arange(n_i) * _TH)[None, :, None]  # (1, n_i, 1)
-    x0g = (jnp.arange(n_j) * _TW)[None, None, :]
-    row0_1 = jnp.clip(y0g + by1 - d_max_y + pad_y, 0, hp - band_h_)
-    row0a_1 = (row0_1 // 8) * 8
-    off_t = y0g - (row0a_1 - pad_y)  # (b, n_i, n_j)
-    col0_1 = jnp.clip(x0g + bx1 - d_max_x + pad_x, 0, wp - band_w_)
-    off_s = x0g - (col0_1 - pad_x)
-
-    dev_y_t = tiled(dev_y)
-    dev_x_t = tiled(dev_x)
-    live_t = tiled(live)
-    t_raw1 = dev_y_t + off_t[:, :, None, :, None]
-    t_ok1 = (t_raw1 >= 0) & (t_raw1 <= n_t - 1)
-    s_raw1 = dev_x_t + off_s[:, :, None, :, None]
-    s_ok1 = (s_raw1 >= 0) & (s_raw1 <= n_s_full - 1)
-    s_full1 = jnp.clip(s_raw1, 0, n_s_full - 1)
-    smin1 = jnp.min(
-        jnp.where(live_t, s_full1, n_s_full - 1), axis=(2, 4)
-    )
-    smin1 = jnp.clip(smin1, 0, max(n_s_full - n_s1, 0))
-    in_w1 = (
-        s_ok1
-        & (s_full1 - smin1[:, :, None, :, None] >= 0)
-        & (s_full1 - smin1[:, :, None, :, None] <= n_s1 - 1)
-    )
-    missed = live_t & ~(t_ok1 & in_w1)
-    big = jnp.int32(1 << 20)
-    by2 = jnp.min(jnp.where(missed, dev_y_t, big), axis=(2, 4)) + d_max_y
-    bx2 = jnp.min(jnp.where(missed, dev_x_t, big), axis=(2, 4)) + d_max_x
-    any_missed = jnp.any(missed, axis=(2, 4))
-    by2 = jnp.where(any_missed, jnp.clip(by2, -base_max, base_max), by1)
-    bx2 = jnp.where(any_missed, jnp.clip(bx2, -base_max, base_max), bx1)
-
-    by1_flat = by1.reshape(-1)
-    bx1_flat = bx1.reshape(-1)
-    by2_flat = by2.reshape(-1).astype(jnp.int32)
-    bx2_flat = bx2.reshape(-1).astype(jnp.int32)
+    by_c, bx_c, smin_c = cur_window
+    prev_arrays = []
+    prev_n_s = []
+    for (by_q, bx_q, smin_q, vis_q, n_s_q) in prev_windows:
+        prev_arrays.extend([by_q, bx_q, smin_q, vis_q])
+        prev_n_s.append(n_s_q)
 
     kernel, band_h, band_w = _make_kernel2(
         h, w, hp, wp, pad_y, pad_x, d_max_y, d_max_x,
-        n_s1=n_s1, s_cap=s_cap, precision=precision, r1_offset=r1_offset,
+        prev_n_s=tuple(prev_n_s), s_cap=s_cap, precision=precision,
+        r1_offset=r1_offset,
     )
 
-    def tile_of(step, sel_ref, *base_refs):
+    def tile_of(step, sel_ref, *rest):
         flat = sel_ref[step]
         tj = flat % n_j
-        rest = flat // n_j
-        ti = rest % n_i
-        bb = rest // n_i
+        rest_ = flat // n_j
+        ti = rest_ % n_i
+        bb = rest_ // n_i
         return bb, ti, tj
 
-    out, clip = pl.pallas_call(
+    def dyn_spec(nc):
+        return pl.BlockSpec(
+            (1, nc, _TH, _TW),
+            lambda s, *refs: (
+                tile_of(s, *refs)[0], 0,
+                tile_of(s, *refs)[1],
+                tile_of(s, *refs)[2],
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    n_scalar = 4 + 4 * len(prev_windows)
+    out, clip, rmdy, rmdx = pl.pallas_call(
         functools.partial(kernel, n_i=n_i, n_j=n_j, total=k),
         out_shape=(
             jax.ShapeDtypeStruct((b, 5, ht, wt), jnp.float32),
             jax.ShapeDtypeStruct((k,), jnp.int32),
+            jax.ShapeDtypeStruct((k,), jnp.int32),
+            jax.ShapeDtypeStruct((k,), jnp.int32),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=n_scalar,
             grid=(k,),
             in_specs=[
-                pl.BlockSpec(
-                    (1, 5, _TH, _TW),
-                    lambda s, *refs: (
-                        tile_of(s, *refs)[0], 0,
-                        tile_of(s, *refs)[1],
-                        tile_of(s, *refs)[2],
-                    ),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 2, _TH, _TW),
-                    lambda s, *refs: (
-                        tile_of(s, *refs)[0], 0,
-                        tile_of(s, *refs)[1],
-                        tile_of(s, *refs)[2],
-                    ),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 5, _TH, _TW),
-                    lambda s, *refs: (
-                        tile_of(s, *refs)[0], 0,
-                        tile_of(s, *refs)[1],
-                        tile_of(s, *refs)[2],
-                    ),
-                    memory_space=pltpu.VMEM,
-                ),
+                dyn_spec(5),   # r0
+                dyn_spec(2),   # flow
+                dyn_spec(5),   # m1 (aliased to the merged output)
                 pl.BlockSpec(memory_space=pl.ANY),  # full r1, DMA'd per tile
             ],
             out_specs=(
-                pl.BlockSpec(
-                    (1, 5, _TH, _TW),
-                    lambda s, *refs: (
-                        tile_of(s, *refs)[0], 0,
-                        tile_of(s, *refs)[1],
-                        tile_of(s, *refs)[2],
-                    ),
-                    memory_space=pltpu.VMEM,
-                ),
-                # Whole (K,) vector as one resident SMEM block (TPU
+                dyn_spec(5),
+                # Whole (K,) vectors as resident SMEM blocks (TPU
                 # rejects size-1 rank-1 blocks); written at [step].
+                pl.BlockSpec((k,), lambda s, *refs: (0,), memory_space=pltpu.SMEM),
+                pl.BlockSpec((k,), lambda s, *refs: (0,), memory_space=pltpu.SMEM),
                 pl.BlockSpec((k,), lambda s, *refs: (0,), memory_space=pltpu.SMEM),
             ),
             scratch_shapes=[
@@ -892,10 +862,38 @@ def update_matrices_banded_tiles_cf(
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        input_output_aliases={7: 0},
+        input_output_aliases={n_scalar + 2: 0},
         interpret=interpret,
-    )(sel, by1_flat, bx1_flat, by2_flat, bx2_flat, r0_cf, flow_cf, m1, r1p)
-    return out, clip
+    )(
+        sel, by_c, bx_c, smin_c, *prev_arrays,
+        r0_cf, flow_cf, m1, r1p,
+    )
+    return out, clip, rmdy, rmdx
+
+
+def window_from_residuals(
+    rmdy: jnp.ndarray,
+    rmdx: jnp.ndarray,
+    d_max_y: int,
+    d_max_x: int,
+    base_max: int,
+    s_cap: int,
+):
+    """Anchor scalars (by, bx, smin) for a follow-up window.
+
+    rmdy/rmdx: (T,) min floor candidates of the still-uncovered pixels
+    (sentinel 1<<20 for clean tiles — their windows are harmless
+    no-ops and their residual counts keep them out of top-k).
+    Anchoring the band at the min uncovered candidate makes the
+    guaranteed coverage [min, min + 2*d_max + 1] per axis, anywhere
+    within +-base_max.
+    """
+    n_s_full = 2 * d_max_x + 2
+    n_s = min(s_cap, n_s_full) if s_cap else n_s_full
+    by = jnp.clip(rmdy + d_max_y, -base_max, base_max).astype(jnp.int32)
+    bx = jnp.clip(rmdx + d_max_x, -base_max, base_max).astype(jnp.int32)
+    smin = jnp.clip(rmdx - (bx - d_max_x), 0, max(n_s_full - n_s, 0)).astype(jnp.int32)
+    return by, bx, smin
 
 
 # ---------------------------------------------------------------------------

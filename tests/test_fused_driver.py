@@ -156,9 +156,9 @@ def test_fused_use_initial_flow(rng):
 
 
 def test_dual_window_covers_bimodal_flow(rng):
-    """Bucketed second window: bimodal motion (static background + fast
-    region spanning ~27 slots) exceeds the anchored span cap, but the
-    top-K re-visit with uncovered-anchored bases must recover it
+    """Bucketed follow-up window: bimodal motion (static background +
+    fast region spanning ~27 slots) exceeds the anchored span cap, but
+    the top-K re-visit with residual-anchored bases must recover it
     exactly — and account every pixel it cannot (none here)."""
 
     import jax
@@ -167,6 +167,7 @@ def test_dual_window_covers_bimodal_flow(rng):
         pad_for_band,
         update_matrices_banded_cf,
         update_matrices_banded_tiles_cf,
+        window_from_residuals,
     )
 
     B, H, W = 1, 64, 512
@@ -180,19 +181,26 @@ def test_dual_window_covers_bimodal_flow(rng):
     r0t = jnp.moveaxis(jnp.asarray(r0), -1, 1)
     ft = jnp.moveaxis(jnp.asarray(flow), -1, 1)
     r1p = pad_for_band(jnp.moveaxis(jnp.asarray(r1), -1, 1), H, W, d_y, d_x)
-    m1, clip1 = update_matrices_banded_cf(
+    m1, clip1, (bases1, smin1, rmdy, rmdx) = update_matrices_banded_cf(
         r0t, ft, r1p, H, W, d_max_y=d_y, d_max_x=d_x, s_cap=cap, interpret=True
     )
     assert int(np.asarray(clip1).sum()) > 0  # cap really is exceeded
 
     total = int(np.prod(clip1.shape))
-    flat = clip1.reshape(total)
-    _, sel = jax.lax.top_k(flat, total)  # full budget for the test
-    m2, clip2 = update_matrices_banded_tiles_cf(
-        sel.astype(jnp.int32), m1, r0t, ft, r1p, H, W,
-        d_max_y=d_y, d_max_x=d_x, n_s1=cap, s_cap=cap, interpret=True,
+    _, sel = jax.lax.top_k(clip1.reshape(total), total)  # full budget
+    cur = window_from_residuals(
+        rmdy.reshape(total), rmdx.reshape(total), d_y, d_x, 56, cap
     )
-    assert int(np.asarray(clip2).sum()) == 0  # second window covers all
+    prev = [(
+        bases1[:, 1].reshape(total), bases1[:, 0].reshape(total),
+        smin1.reshape(total), jnp.ones((total,), jnp.int32), cap,
+    )]
+    m2, clip2, _, _ = update_matrices_banded_tiles_cf(
+        sel.astype(jnp.int32), m1, r0t, ft, r1p, H, W,
+        cur_window=cur, prev_windows=prev,
+        d_max_y=d_y, d_max_x=d_x, s_cap=cap, interpret=True,
+    )
+    assert int(np.asarray(clip2).sum()) == 0  # follow-up covers all
     m_ref = np.asarray(update_matrices(jnp.asarray(r0), jnp.asarray(r1), jnp.asarray(flow)))
     got = np.moveaxis(np.asarray(m2)[:, :, :H, :W], 1, -1)
     np.testing.assert_allclose(got, m_ref, atol=1e-4)
