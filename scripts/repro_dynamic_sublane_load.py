@@ -1,12 +1,18 @@
 """Reproducer: are dynamic sublane-start VMEM loads exact on TPU?
 
-The banded warp kernel currently walks a static candidate range with
-pl.when-guarded blocks; a fori_loop over the *live* range with
-`ref[pl.ds(t, TH), :]` loads would execute exactly the live work with
-~no branches — but Mosaic has a history of silent miscompiles on
-dynamic sublane ops (docs/PERFORMANCE.md: dynamic sublane rolls).
-This checks dynamic-start loads (a) standalone for every offset,
-(b) inside a lax.fori_loop with traced bounds.
+The banded warp kernel walks a static candidate range; a fori_loop over
+the *live* range with `ref[pl.ds(t, TH), :]` loads would execute
+exactly the live work with ~no branches — but Mosaic has a history of
+silent miscompiles on dynamic sublane ops (docs/PERFORMANCE.md:
+dynamic sublane rolls).  This checks dynamic-start loads (a) standalone
+for every offset, (b) inside a lax.fori_loop with traced bounds.
+
+VERDICT (run on v5e, jax 0.8 era, 2026-08-17): dynamic sublane-start
+vector loads FAIL TO LOWER — Mosaic raises on the
+`vector.load(memref<64x256xf32, vmem>, dynamic index)` op (a loud
+error, not a silent miscompile).  Candidate walks must stay statically
+unrolled; wide coverage comes from the chained multi-window passes
+(ops/farneback_pallas.py), not dynamic loops.
 """
 import sys; sys.path.insert(0, "/root/repo")
 import os
