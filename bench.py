@@ -161,15 +161,13 @@ def main(chunk: int = None):
     tpu_fps = N_PAIRS / (flow_time + pca_time)
     vs = (tpu_fps / cpu_fps) if cpu_fps else float("nan")
     dev = jax.devices()[0].platform
-    print(
-        json.dumps(
-            {
-                "metric": f"ROI-frames/sec flow+PCA 640x480 ({dev})",
-                "value": round(tpu_fps, 2),
-                "unit": "frames/sec",
-                "vs_baseline": round(vs, 2) if vs == vs else None,
-            }
-        )
+    return json.dumps(
+        {
+            "metric": f"ROI-frames/sec flow+PCA 640x480 ({dev})",
+            "value": round(tpu_fps, 2),
+            "unit": "frames/sec",
+            "vs_baseline": round(vs, 2) if vs == vs else None,
+        }
     )
 
 
@@ -258,16 +256,21 @@ def bench_cohort():
 
 
 if __name__ == "__main__":
+    # The primary measurement runs FIRST (cleanest machine state) but its
+    # JSON line is printed LAST: the driver parses the final JSON line of
+    # stdout (BENCH_r02.json proved it recorded the cohort line instead of
+    # the 367 fps primary).  Secondary lines print before it.
+    primary_line = None
     for ck in CHUNK_LADDER:
         try:
-            main(ck)
+            primary_line = main(ck)
             break
         except Exception as e:  # OOM etc. → retry with a smaller chunk
             print(f"# chunk {ck} failed ({type(e).__name__}); retrying smaller", file=sys.stderr)
-    else:
+    if primary_line is None:
         raise SystemExit(1)
-    # Secondary lines (the driver reads only the first): BASELINE
-    # configs 3 (1080p streaming) and 4 (cohort end-to-end).
+    # Secondary lines: BASELINE configs 3 (1080p streaming) and 4
+    # (cohort end-to-end).
     if os.environ.get("BENCH_SECONDARY", "1") != "0":
         try:
             bench_1080p()
@@ -277,3 +280,4 @@ if __name__ == "__main__":
             bench_cohort()
         except Exception as e:
             print(f"# cohort bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+    print(primary_line)
