@@ -40,6 +40,90 @@ from btcs_pnes_optical_flow_tpu.utils.timing import logger
 _PIPELINE_DEPTH = 2
 
 
+def escalate_clipped_pairs(
+    vx: np.ndarray,
+    vy: np.ndarray,
+    mg: np.ndarray,
+    clips: np.ndarray,
+    frames: np.ndarray,
+    ex_s: np.ndarray,
+    ey_s: np.ndarray,
+    masks_dev,
+    config: PipelineConfig,
+    n_pairs: int,
+    first: int = 0,
+) -> tuple:
+    """Escalation ladder for pairs whose banded warp clipped candidates.
+
+    The banded warp clips candidates when within-tile displacement
+    spread exceeds the anchored span (e.g. fast rotational limb
+    motion): those pairs' M planes are corrupt, and the kernel counted
+    it (never silent).  Tier 1 re-runs them through the deep
+    multi-window chain (full tile budget, 4 passes — stays under the
+    slot cliff, ~25x faster than exact); tier 2 recomputes anything
+    still out of reach with the exact gather engine.  Returns
+    (n_clipped, n_exact); vx/vy/mg are fixed up in place.
+    """
+    bad = np.nonzero(np.asarray(clips)[:n_pairs] > 0)[0]
+    n_clipped = int(bad.size)
+    if not bad.size:
+        return 0, 0
+    logger.warning(
+        "flow chunk @%d: %d/%d pairs exceeded the banded warp span; "
+        "escalating", first, bad.size, n_pairs,
+    )
+    if jax.default_backend() == "tpu" and (
+        config.flow.warp_dual_frac < 1.0 or config.flow.warp_dual_passes < 4
+    ):
+        wide = dataclasses.replace(
+            config.flow,
+            warp_dual_frac=1.0,
+            warp_dual_passes=max(4, config.flow.warp_dual_passes),
+        )
+        still = []
+        for s in range(0, bad.size, 8):
+            sel = bad[s : s + 8]
+            # Pad the index set so each tier compiles once.
+            idx = np.concatenate([sel, np.repeat(sel[-1:], 8 - len(sel))])
+            wf, wc = roi_body_flow_checked(
+                jnp.asarray(frames[idx]),
+                jnp.asarray(frames[idx + 1]),
+                jnp.asarray(ex_s[idx]),
+                jnp.asarray(ey_s[idx]),
+                masks_dev,
+                wide,
+            )
+            wcn = np.asarray(wc)[: len(sel)]
+            okw = wcn == 0
+            vx[sel[okw]] = np.array(wf.vx)[: len(sel)][okw]
+            vy[sel[okw]] = np.array(wf.vy)[: len(sel)][okw]
+            mg[sel[okw]] = np.array(wf.mag)[: len(sel)][okw]
+            still.extend(sel[~okw])
+        bad = np.array(still, dtype=np.int64)
+    n_exact = int(bad.size)
+    if bad.size:
+        logger.warning(
+            "flow chunk @%d: %d pairs beyond the band reach; "
+            "recomputing via exact engine", first, bad.size,
+        )
+        exact = dataclasses.replace(config.flow, warp_engine="exact")
+        for s in range(0, bad.size, 8):
+            sel = bad[s : s + 8]
+            idx = np.concatenate([sel, np.repeat(sel[-1:], 8 - len(sel))])
+            ef = roi_body_flow(
+                jnp.asarray(frames[idx]),
+                jnp.asarray(frames[idx + 1]),
+                jnp.asarray(ex_s[idx]),
+                jnp.asarray(ey_s[idx]),
+                masks_dev,
+                exact,
+            )
+            vx[sel] = np.array(ef.vx)[: len(sel)]
+            vy[sel] = np.array(ef.vy)[: len(sel)]
+            mg[sel] = np.array(ef.mag)[: len(sel)]
+    return n_clipped, n_exact
+
+
 @dataclasses.dataclass
 class FlowStageResult:
     frame: np.ndarray      # (T,)
@@ -105,9 +189,13 @@ def run_flow_stage(
     n_frames = 0
     t_start = time.perf_counter()
     pairs_done = 0
+    # Escalation telemetry: how often the banded-warp envelope is left
+    # (clipped pairs → deep multi-window tier → exact gather engine).
+    n_clipped_total = 0
+    n_exact_total = 0
 
     def resolve(entry):
-        nonlocal pairs_done
+        nonlocal pairs_done, n_clipped_total, n_exact_total
         first, n_pairs, valid, t_chunk, sk, ok, feats, clips, frames, ex_s, ey_s = entry
         if valid is None:  # resumed from checkpoint
             vx, vy, mg = feats["vx"], feats["vy"], feats["mag"]
@@ -115,72 +203,12 @@ def run_flow_stage(
             vx = np.array(feats.vx)[:n_pairs]
             vy = np.array(feats.vy)[:n_pairs]
             mg = np.array(feats.mag)[:n_pairs]
-            bad = np.nonzero(np.asarray(clips)[:n_pairs] > 0)[0]
-            if bad.size:
-                # The banded warp clipped candidates on these pairs
-                # (within-tile displacement spread past the anchored
-                # warp_s_cap span or warp_d_max_y/x — e.g. fast
-                # rotational limb motion): their M planes are corrupt.
-                # Escalate: (1) the full-window banded kernel (slow but
-                # ~5x faster than exact), (2) the exact gather path for
-                # anything still outside the band's reach.
-                logger.warning(
-                    "flow chunk @%d: %d/%d pairs exceeded the banded warp span; "
-                    "escalating", first, bad.size, n_pairs,
-                )
-                if jax.default_backend() == "tpu" and (
-                    config.flow.warp_dual_frac < 1.0
-                    or config.flow.warp_dual_passes < 4
-                ):
-                    # Deep multi-window tier: full tile budget and a
-                    # longer window chain — stays under the kernel's
-                    # slot cliff, unlike a single wide window, and is
-                    # ~25x faster than the exact gather engine.
-                    wide = dataclasses.replace(
-                        config.flow,
-                        warp_dual_frac=1.0,
-                        warp_dual_passes=max(4, config.flow.warp_dual_passes),
-                    )
-                    still = []
-                    for s in range(0, bad.size, 8):
-                        sel = bad[s : s + 8]
-                        # Pad the index set so each tier compiles once.
-                        idx = np.concatenate([sel, np.repeat(sel[-1:], 8 - len(sel))])
-                        wf, wc = roi_body_flow_checked(
-                            jnp.asarray(frames[idx]),
-                            jnp.asarray(frames[idx + 1]),
-                            jnp.asarray(ex_s[idx]),
-                            jnp.asarray(ey_s[idx]),
-                            masks_dev,
-                            wide,
-                        )
-                        wcn = np.asarray(wc)[: len(sel)]
-                        okw = wcn == 0
-                        vx[sel[okw]] = np.array(wf.vx)[: len(sel)][okw]
-                        vy[sel[okw]] = np.array(wf.vy)[: len(sel)][okw]
-                        mg[sel[okw]] = np.array(wf.mag)[: len(sel)][okw]
-                        still.extend(sel[~okw])
-                    bad = np.array(still, dtype=np.int64)
-                if bad.size:
-                    logger.warning(
-                        "flow chunk @%d: %d pairs beyond the band reach; "
-                        "recomputing via exact engine", first, bad.size,
-                    )
-                    exact = dataclasses.replace(config.flow, warp_engine="exact")
-                    for s in range(0, bad.size, 8):
-                        sel = bad[s : s + 8]
-                        idx = np.concatenate([sel, np.repeat(sel[-1:], 8 - len(sel))])
-                        ef = roi_body_flow(
-                            jnp.asarray(frames[idx]),
-                            jnp.asarray(frames[idx + 1]),
-                            jnp.asarray(ex_s[idx]),
-                            jnp.asarray(ey_s[idx]),
-                            masks_dev,
-                            exact,
-                        )
-                        vx[sel] = np.array(ef.vx)[: len(sel)]
-                        vy[sel] = np.array(ef.vy)[: len(sel)]
-                        mg[sel] = np.array(ef.mag)[: len(sel)]
+            n_c, n_e = escalate_clipped_pairs(
+                vx, vy, mg, clips, frames, ex_s, ey_s, masks_dev,
+                config, n_pairs, first,
+            )
+            n_clipped_total += n_c
+            n_exact_total += n_e
             inv = ~valid[:n_pairs]
             vx[inv] = np.nan
             vy[inv] = np.nan
@@ -195,8 +223,10 @@ def run_flow_stage(
         pairs_done += n_pairs
         dt = time.perf_counter() - t_start
         logger.info(
-            "flow chunk @%d: %d pairs done, %.1f pairs/s cumulative",
+            "flow chunk @%d: %d pairs done, %.1f pairs/s cumulative, "
+            "escalated %d (deep tier) / %d (exact engine)",
             first, pairs_done, pairs_done / dt if dt > 0 else 0.0,
+            n_clipped_total, n_exact_total,
         )
 
     for first, frames, pos in ChunkPrefetcher(src, chunk_pairs):

@@ -47,13 +47,13 @@ from btcs_pnes_optical_flow_tpu.ops import cvx
 from btcs_pnes_optical_flow_tpu.ops.farneback import _level_image
 from btcs_pnes_optical_flow_tpu.ops.farneback_pallas import (
     _TH,
-    _TW,
     pad_for_band,
     pad_for_solve,
     poly_exp_fused_cf,
     update_flow_fused_cf,
     update_matrices_banded_cf,
     update_matrices_banded_tiles_cf,
+    warp_grid,
     window_from_residuals,
 )
 
@@ -61,10 +61,6 @@ from btcs_pnes_optical_flow_tpu.ops.farneback_pallas import (
 def fused_supported(params: FarnebackParams) -> bool:
     """Static-parameter envelope of the fused Pallas kernels."""
     return params.poly_n <= 8 and params.winsize // 2 <= 8
-
-
-def _ceil_to(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _init_flow_cf(
@@ -81,9 +77,15 @@ def _fused_level_loop(polys_of_level, n: int, h: int, w: int,
                       params: FarnebackParams, flow0, interpret: bool):
     """Shared pyramid loop.
 
-    polys_of_level(k, hk, wk) -> (r0_cf, r1p, r1_offset): channel-first
-    coefficient planes for level k (true grid [:hk, :wk]) and the
-    band-padded warped-from planes.
+    polys_of_level(k, hk, wk, grid, tw_k) -> (r0_cf, r1p, r1_offset):
+    channel-first coefficient planes for level k (true grid [:hk, :wk],
+    padded to ``grid`` = the level's warp lattice) and the band-padded
+    warped-from planes.
+
+    Every level picks its own zero-waste kernel geometry (warp_grid):
+    at 480p the legacy fixed (32, 256) warp / (64, 512) plane lattices
+    computed 1.2x-1.7x the true pixel count in grid padding — the
+    whole 480p-vs-1080p pixel-efficiency gap of round 2.
     """
     klev = params.num_levels(h, w)
     inv_scale = 1.0 / params.pyr_scale
@@ -92,8 +94,8 @@ def _fused_level_loop(polys_of_level, n: int, h: int, w: int,
     clip_total = jnp.zeros((n,), jnp.int32)
     for k in range(klev, -1, -1):
         hk, wk = params.level_size(h, w, k)
-        ht, wt = _ceil_to(hk, _TH), _ceil_to(wk, _TW)
-        r0_cf, r1p, r1_offset = polys_of_level(k, hk, wk)
+        ht, wt, tw_k = warp_grid(hk, wk)
+        r0_cf, r1p, r1_offset = polys_of_level(k, hk, wk, (ht, wt), tw_k)
 
         if flow is None:
             f0 = flow0 if params.use_initial_flow else None
@@ -107,7 +109,7 @@ def _fused_level_loop(polys_of_level, n: int, h: int, w: int,
             )
 
         n_i = ht // _TH
-        n_j = wt // _TW
+        n_j = wt // tw_k
         n_s_full = 2 * params.warp_d_max_x + 2
         n_s1 = min(params.warp_s_cap, n_s_full) if params.warp_s_cap else n_s_full
         n_passes = params.warp_dual_passes if params.warp_dual_frac > 0 else 0
@@ -120,6 +122,7 @@ def _fused_level_loop(polys_of_level, n: int, h: int, w: int,
                 s_cap=params.warp_s_cap,
                 precision=params.warp_precision,
                 r1_offset=r1_offset,
+                tw=tw_k,
                 interpret=interpret,
             )
             if n_passes:
@@ -161,6 +164,7 @@ def _fused_level_loop(polys_of_level, n: int, h: int, w: int,
                         s_cap=n_s1,
                         precision=params.warp_precision,
                         r1_offset=r1_offset,
+                        tw=tw_k,
                         interpret=interpret,
                     )
                     u = u.at[sel].set(clip_k)
@@ -175,7 +179,7 @@ def _fused_level_loop(polys_of_level, n: int, h: int, w: int,
             else:
                 clip_pair = jnp.sum(clip, axis=(1, 2))
             clip_total = clip_total + clip_pair
-            mp = pad_for_solve(m, hk, wk)
+            mp = pad_for_solve(m, hk, wk, grid=(ht, wt))
             flow = update_flow_fused_cf(
                 mp, hk, wk, params.winsize, params.gaussian_win, interpret=interpret
             )
@@ -207,13 +211,18 @@ def _pairs_impl(prev, curr, params, flow0, interpret):
     p_f = prev.astype(jnp.float32)
     c_f = curr.astype(jnp.float32)
 
-    def polys_of_level(k, hk, wk):
+    def polys_of_level(k, hk, wk, grid, tw_k):
         i0, _, _ = _level_image(p_f, k, params, h, w)
         i1, _, _ = _level_image(c_f, k, params, h, w)
-        r0 = poly_exp_fused_cf(i0, params.poly_n, params.poly_sigma, interpret=interpret)
-        r1 = poly_exp_fused_cf(i1, params.poly_n, params.poly_sigma, interpret=interpret)
+        r0 = poly_exp_fused_cf(
+            i0, params.poly_n, params.poly_sigma, grid=grid, interpret=interpret
+        )
+        r1 = poly_exp_fused_cf(
+            i1, params.poly_n, params.poly_sigma, grid=grid, interpret=interpret
+        )
         r1p = pad_for_band(
-            r1, hk, wk, params.warp_d_max_y, params.warp_d_max_x, params.warp_base_max
+            r1, hk, wk, params.warp_d_max_y, params.warp_d_max_x,
+            params.warp_base_max, tw=tw_k,
         )
         return r0, r1p, 0
 
@@ -225,13 +234,16 @@ def _seq_impl(frames, params, flow0, interpret):
     n = n1 - 1
     f_all = frames.astype(jnp.float32)
 
-    def polys_of_level(k, hk, wk):
+    def polys_of_level(k, hk, wk, grid, tw_k):
         lv, _, _ = _level_image(f_all, k, params, h, w)
-        p = poly_exp_fused_cf(lv, params.poly_n, params.poly_sigma, interpret=interpret)
+        p = poly_exp_fused_cf(
+            lv, params.poly_n, params.poly_sigma, grid=grid, interpret=interpret
+        )
         # Pair b reads r0 from stacked frame b (block specs only touch
         # the first n frames) and its warp band from frame b+1.
         r1p = pad_for_band(
-            p, hk, wk, params.warp_d_max_y, params.warp_d_max_x, params.warp_base_max
+            p, hk, wk, params.warp_d_max_y, params.warp_d_max_x,
+            params.warp_base_max, tw=tw_k,
         )
         return p, r1p, 1
 

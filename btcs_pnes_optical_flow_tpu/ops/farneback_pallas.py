@@ -58,17 +58,68 @@ def _border_scale_vec(pos, size):
     return s
 
 
-def _band_dims(d_max_y: int, d_max_x: int):
+def _band_dims(d_max_y: int, d_max_x: int, th: int = _TH, tw: int = _TW):
     """Aligned band extents for the warp kernel's per-tile DMA.
 
     The reachable window is asymmetric by design: tiles are short (32
-    rows) and wide (256 cols), so within-tile vertical flow variation
-    is much smaller than horizontal — separate d_max per axis keeps the
-    band (and its DMA traffic) tight while covering realistic motion.
+    rows) and wide (128/256 cols), so within-tile vertical flow
+    variation is much smaller than horizontal — separate d_max per axis
+    keeps the band (and its DMA traffic) tight while covering realistic
+    motion.
+
+    band_w MUST be a power of two: Mosaic's dynamic 2D lane roll
+    (tpu.dynamic_rotate) silently miscomputes at non-power-of-two lane
+    widths (measured on v5e: 256/512 exact, 384/640 wrong for every
+    nonzero shift — scripts/repro_roll_w384.py), and the kernel lane-
+    rolls the full band.
     """
-    band_h = -(-(_TH + 2 * d_max_y + 2 + 7) // 8) * 8
-    band_w = -(-(_TW + 2 * d_max_x + 2 + 127) // 128) * 128
+    band_h = -(-(th + 2 * d_max_y + 2 + 7) // 8) * 8
+    band_w = -(-(tw + 2 * d_max_x + 2 + 127) // 128) * 128
+    while band_w & (band_w - 1):
+        band_w += 128
     return band_h, band_w
+
+
+def warp_grid(h: int, w: int):
+    """Per-level warp-kernel geometry: (ht, wt, tile_w).
+
+    Tile height is fixed at _TH = 32 (the band's vertical reach and the
+    clip envelope are calibrated to it).  Tile width stays at 256
+    unless 128 cuts the padded width by >= 40%: measured at 480p L0
+    (640 wide), 128-wide tiles LOSE ~20% per warp iteration despite
+    computing 17% fewer padded pixels — per-tile costs (the full-band
+    lane roll ~ band area, the anchor min/max reductions, and 1.67x
+    more multi-window top-K tiles) scale with tile *count*, not pixels.
+    Only tiny coarse levels (e.g. 60x80 -> wt 128 vs 256) clear the
+    40% bar.
+    """
+    ht = -(-h // _TH) * _TH
+    wt256 = -(-w // 256) * 256
+    wt128 = -(-w // 128) * 128
+    tw = 128 if wt128 * 10 <= wt256 * 6 else 256
+    return ht, (wt128 if tw == 128 else wt256), tw
+
+
+def plane_tiles(ht: int, wt: int, channels: int, vmem_limit: int = 6 << 20):
+    """Tile sizes for the halo-static plane kernels (poly expansion,
+    window solve) targeting an exact output grid (ht, wt).
+
+    Tile dims must divide the grid (so the grid is the tile lattice —
+    zero padding waste), be (8, 128)-aligned, and keep the kernel's
+    double-buffered (channels, th+16, tw+256) band under ``vmem_limit``.
+    Larger tiles amortize per-grid-step overhead, so pick the largest
+    height <= 64, then the largest width <= 768 that fits VMEM.
+    (Bisected Mosaic envelope on v5e: bands of (96..112 rows, 896 cols)
+    fail tpu_compile_helper outright while (80, 896) and (112, 768)
+    compile — hence the th/tw caps.)
+    """
+    th = next(d for d in range(64, 7, -8) if ht % d == 0)
+    for tw in (768, 640, 512, 384, 256, 128):
+        if wt % tw:
+            continue
+        if 2 * channels * (th + 16) * (tw + 256) * 4 <= vmem_limit:
+            return th, tw
+    raise ValueError(f"no feasible plane tile for grid ({ht}, {wt})")
 
 
 def pad_for_band(
@@ -78,6 +129,8 @@ def pad_for_band(
     d_max_y: int = 8,
     d_max_x: int = 16,
     base_max: int = 56,
+    th: int = _TH,
+    tw: int = _TW,
 ) -> jnp.ndarray:
     """Pad channel-first coefficients for the banded warp's DMA reads.
 
@@ -90,11 +143,11 @@ def pad_for_band(
     _, _, h0, w0 = r1_cf.shape
     pad_y = base_max + d_max_y + 2
     pad_x = base_max + d_max_x + 2
-    band_h, band_w = _band_dims(d_max_y, d_max_x)
-    ht = -(-h // _TH) * _TH
-    wt = -(-w // _TW) * _TW
-    pad_bottom = max(0, ht - _TH + base_max - d_max_y + band_h + 2 - h0)
-    pad_right = max(0, wt - _TW + base_max - d_max_x + band_w + 2 - w0)
+    band_h, band_w = _band_dims(d_max_y, d_max_x, th, tw)
+    ht = -(-h // th) * th
+    wt = -(-w // tw) * tw
+    pad_bottom = max(0, ht - th + base_max - d_max_y + band_h + 2 - h0)
+    pad_right = max(0, wt - tw + base_max - d_max_x + band_w + 2 - w0)
     return jnp.pad(
         r1_cf, ((0, 0), (0, 0), (pad_y, pad_bottom), (pad_x, pad_right)), mode="edge"
     )
@@ -113,6 +166,8 @@ def _make_kernel(
     precision: str = "fp32",
     r1_offset: int = 0,
     s_block: int = 4,
+    th: int = _TH,
+    tw: int = _TW,
 ):
     """Build the fused warp+update kernel for static shapes.
 
@@ -137,7 +192,7 @@ def _make_kernel(
     # the alignment slack (7 rows / 127 cols) and the window halo; the
     # unaligned remainder is corrected with dynamic rolls after the
     # copy (tpu.dynamic_rotate is cheap VPU data movement).
-    band_h, band_w = _band_dims(d_max_y, d_max_x)
+    band_h, band_w = _band_dims(d_max_y, d_max_x, th, tw)
     n_t = 2 * d_max_y + 2 + 7
     n_s_full = 2 * d_max_x + 2
     n_s = min(s_cap, n_s_full) if s_cap else n_s_full
@@ -146,9 +201,9 @@ def _make_kernel(
     _SB = s_block if s_block else n_s
     # Roll-margin proof: after rolling by (m_col + smin) <= 127 +
     # n_s_full, circular wrap garbage occupies the last m_col + smin
-    # columns; reads go up to col (n_s - 1) + _TW - 1.
-    # band_w >= _TW + 127 + n_s_full covers every case.
-    assert band_w >= _TW + 127 + n_s_full
+    # columns; reads go up to col (n_s - 1) + tw - 1.
+    # band_w >= tw + 127 + n_s_full covers every case.
+    assert band_w >= tw + 127 + n_s_full
     wdt = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
     def kernel(
@@ -159,8 +214,8 @@ def _make_kernel(
         bb = pl.program_id(0)
         ti = pl.program_id(1)
         tj = pl.program_id(2)
-        y0g = ti * _TH
-        x0g = tj * _TW
+        y0g = ti * th
+        x0g = tj * tw
         idx = (bb * n_i + ti) * n_j + tj
         total = pl.num_programs(0) * n_i * n_j
 
@@ -169,8 +224,8 @@ def _make_kernel(
             rest = flat_idx // n_j
             ti_ = rest % n_i
             bb_ = rest // n_i
-            row0_ = jnp.clip(ti_ * _TH + by_ref[flat_idx] - d_max_y + pad_y, 0, hp - band_h)
-            col0_ = jnp.clip(tj_ * _TW + bx_ref[flat_idx] - d_max_x + pad_x, 0, wp - band_w)
+            row0_ = jnp.clip(ti_ * th + by_ref[flat_idx] - d_max_y + pad_y, 0, hp - band_h)
+            col0_ = jnp.clip(tj_ * tw + bx_ref[flat_idx] - d_max_x + pad_x, 0, wp - band_w)
             row0a_ = pl.multiple_of((row0_ // 8) * 8, 8)
             col0a_ = pl.multiple_of((col0_ // 128) * 128, 128)
             return bb_, row0_, col0_, row0a_, col0a_
@@ -203,8 +258,8 @@ def _make_kernel(
         m_col = col0 - col0a
         band = band2[cur]
 
-        ii = jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 0) + y0g
-        jj = jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 1) + x0g
+        ii = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + y0g
+        jj = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + x0g
         gx = jj.astype(jnp.float32) + fx
         gy = ii.astype(jnp.float32) + fy
         x1f = jnp.floor(gx)
@@ -269,7 +324,7 @@ def _make_kernel(
         tmax = jnp.max(live_t)
         smin_b = jnp.min(jnp.where(live, s_idx, n_s - 1))
         smax = jnp.max(jnp.where(live, s_idx, 0))
-        acc5[...] = jnp.zeros((5, _TH, _TW), jnp.float32)
+        acc5[...] = jnp.zeros((5, th, tw), jnp.float32)
         axw = ax.astype(wdt)
         one_m_axw = (1.0 - ax).astype(wdt)
         # Loops run one slot/row past the window (range n_t+1 / n_s+1):
@@ -284,7 +339,7 @@ def _make_kernel(
             @pl.when((t >= tmin) & (t <= tmax + 1))
             def _(t=t):
                 wy = jnp.where(t_idx == t, 1.0 - ay, 0.0) if t < n_t else (
-                    jnp.zeros((_TH, _TW), jnp.float32)
+                    jnp.zeros((th, tw), jnp.float32)
                 )
                 if t >= 1:
                     wy = wy + jnp.where(t_idx == t - 1, ay, 0.0)
@@ -299,17 +354,17 @@ def _make_kernel(
                     def _(t=t, sb=sb):
                         # Register-accumulated inner block; one VMEM
                         # RMW per (t, block, channel).
-                        inner = [jnp.zeros((_TH, _TW), wdt) for _ in range(5)]
+                        inner = [jnp.zeros((th, tw), wdt) for _ in range(5)]
                         for sv in range(sb, min(sb + _SB, n_s + 1)):
                             wx = (
                                 jnp.where(s_idx == sv, one_m_axw, jnp.zeros((), wdt))
                                 if sv < n_s
-                                else jnp.zeros((_TH, _TW), wdt)
+                                else jnp.zeros((th, tw), wdt)
                             )
                             if sv >= 1:
                                 wx = wx + jnp.where(s_idx == sv - 1, axw, jnp.zeros((), wdt))
                             for c in range(5):
-                                inner[c] = inner[c] + wx * bandv[c][t : t + _TH, sv : sv + _TW]
+                                inner[c] = inner[c] + wx * bandv[c][t : t + th, sv : sv + tw]
                         for c in range(5):
                             acc5[c] += wy * inner[c].astype(jnp.float32)
 
@@ -358,6 +413,8 @@ def update_matrices_banded_cf(
     precision: str = "fp32",
     r1_offset: int = 0,
     s_block: int = 4,
+    th: int = _TH,
+    tw: int = _TW,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Channel-first banded warp + normal-equation update (Pallas).
@@ -386,29 +443,30 @@ def update_matrices_banded_cf(
     the exact path).
     """
     b = flow_cf.shape[0]
-    ht = -(-h // _TH) * _TH
-    wt = -(-w // _TW) * _TW
+    ht = -(-h // th) * th
+    wt = -(-w // tw) * tw
     pad_y = base_max + d_max_y + 2
     pad_x = base_max + d_max_x + 2
     for name, arr, hh, ww in (("r0_cf", r0_cf, ht, wt), ("flow_cf", flow_cf, ht, wt)):
-        if arr.shape[-2] % _TH or arr.shape[-1] % _TW or arr.shape[-2] < hh or arr.shape[-1] < ww:
+        if arr.shape[-2] % th or arr.shape[-1] % tw or arr.shape[-2] < hh or arr.shape[-1] < ww:
             raise ValueError(
                 f"{name} spatial dims {arr.shape[-2:]} must be multiples of "
-                f"({_TH},{_TW}) covering ({hh},{ww})"
+                f"({th},{tw}) covering ({hh},{ww})"
             )
     hp, wp = r1p.shape[-2], r1p.shape[-1]
 
     kernel, band_h, band_w = _make_kernel(
         h, w, hp, wp, pad_y, pad_x, d_max_y, d_max_x,
         s_cap=s_cap, precision=precision, r1_offset=r1_offset, s_block=s_block,
+        th=th, tw=tw,
     )
-    n_i = ht // _TH
-    n_j = wt // _TW
+    n_i = ht // th
+    n_j = wt // tw
 
     # Per-tile integer base displacements, precomputed so the kernel's
     # double-buffered pipeline can start tile t+1's band DMA during
     # tile t's compute (bases arrive via scalar prefetch).
-    ftiles = flow_cf[:, :, :ht, :wt].reshape(b, 2, n_i, _TH, n_j, _TW)
+    ftiles = flow_cf[:, :, :ht, :wt].reshape(b, 2, n_i, th, n_j, tw)
     bases = jnp.round(jnp.mean(ftiles, axis=(3, 5))).astype(jnp.int32)
     bases = jnp.clip(bases, -base_max, base_max)
     bx_flat = bases[:, 0].reshape(-1)
@@ -437,12 +495,12 @@ def update_matrices_banded_cf(
             grid=(b, n_i, n_j),
             in_specs=[
                 pl.BlockSpec(
-                    (1, 5, _TH, _TW),
+                    (1, 5, th, tw),
                     lambda bb, i, j, *refs: (bb, 0, i, j),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, 2, _TH, _TW),
+                    (1, 2, th, tw),
                     lambda bb, i, j, *refs: (bb, 0, i, j),
                     memory_space=pltpu.VMEM,
                 ),
@@ -450,7 +508,7 @@ def update_matrices_banded_cf(
             ],
             out_specs=(
                 pl.BlockSpec(
-                    (1, 5, _TH, _TW),
+                    (1, 5, th, tw),
                     lambda bb, i, j, *refs: (bb, 0, i, j),
                     memory_space=pltpu.VMEM,
                 ),
@@ -461,7 +519,7 @@ def update_matrices_banded_cf(
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, 5, band_h, band_w), jnp.float32),
-                pltpu.VMEM((5, _TH, _TW), jnp.float32),
+                pltpu.VMEM((5, th, tw), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -559,6 +617,8 @@ def _make_kernel2(
     s_cap: int,
     precision: str = "fp32",
     r1_offset: int = 0,
+    th: int = _TH,
+    tw: int = _TW,
 ):
     """Follow-up-window warp kernel over a compacted tile list.
 
@@ -568,12 +628,12 @@ def _make_kernel2(
     visited).  The current window is s_cap slots anchored via the
     prefetched (by_cur, bx_cur, smin_cur).
     """
-    band_h, band_w = _band_dims(d_max_y, d_max_x)
+    band_h, band_w = _band_dims(d_max_y, d_max_x, th, tw)
     n_t = 2 * d_max_y + 2 + 7
     n_s_full = 2 * d_max_x + 2
     n_s = min(s_cap, n_s_full) if s_cap else n_s_full
     n_prev = len(prev_n_s)
-    assert band_w >= _TW + 127 + n_s_full
+    assert band_w >= tw + 127 + n_s_full
     wdt = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
     def kernel(*refs, n_i, n_j, total):
@@ -589,8 +649,8 @@ def _make_kernel2(
             rest = flat_idx // n_j
             ti_ = rest % n_i
             bb_ = rest // n_i
-            row0_ = jnp.clip(ti_ * _TH + by_ref[flat_idx] - d_max_y + pad_y, 0, hp - band_h)
-            col0_ = jnp.clip(tj_ * _TW + bx_ref[flat_idx] - d_max_x + pad_x, 0, wp - band_w)
+            row0_ = jnp.clip(ti_ * th + by_ref[flat_idx] - d_max_y + pad_y, 0, hp - band_h)
+            col0_ = jnp.clip(tj_ * tw + bx_ref[flat_idx] - d_max_x + pad_x, 0, wp - band_w)
             row0a_ = pl.multiple_of((row0_ // 8) * 8, 8)
             col0a_ = pl.multiple_of((col0_ // 128) * 128, 128)
             return bb_, ti_, tj_, row0_, col0_, row0a_, col0a_
@@ -618,15 +678,15 @@ def _make_kernel2(
 
         flat_idx = sel_ref[step]
         _, ti, tj, row0, col0, row0a, col0a = tile_geometry(flat_idx)
-        y0g = ti * _TH
-        x0g = tj * _TW
+        y0g = ti * th
+        x0g = tj * tw
         m_col = col0 - col0a
         band = band2[cur]
         fx = flow_ref[0, 0]
         fy = flow_ref[0, 1]
 
-        ii = jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 0) + y0g
-        jj = jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 1) + x0g
+        ii = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + y0g
+        jj = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + x0g
         gx = jj.astype(jnp.float32) + fx
         gy = ii.astype(jnp.float32) + fy
         x1f = jnp.floor(gx)
@@ -653,7 +713,7 @@ def _make_kernel2(
             d_q = s_raw_q - smin_v
             return t_ok_q & s_ok_q & (d_q >= 0) & (d_q <= n_s_q - 1)
 
-        cov_prev = jnp.zeros((_TH, _TW), jnp.bool_)
+        cov_prev = jnp.zeros((th, tw), jnp.bool_)
         for q in range(n_prev):
             by_q, bx_q, smin_q, vis_q = prev_refs[q]
             cov_q = window_coverage(
@@ -693,7 +753,7 @@ def _make_kernel2(
         tmax = jnp.max(live_t)
         smin_b = jnp.min(jnp.where(live2, s_idx, n_s - 1))
         smax = jnp.max(jnp.where(live2, s_idx, 0))
-        acc5[...] = jnp.zeros((5, _TH, _TW), jnp.float32)
+        acc5[...] = jnp.zeros((5, th, tw), jnp.float32)
         axw = ax.astype(wdt)
         one_m_axw = (1.0 - ax).astype(wdt)
         _SB = 4
@@ -704,7 +764,7 @@ def _make_kernel2(
             @pl.when((t >= tmin) & (t <= tmax + 1))
             def _(t=t):
                 wy = jnp.where(t_idx == t, 1.0 - ay, 0.0) if t < n_t else (
-                    jnp.zeros((_TH, _TW), jnp.float32)
+                    jnp.zeros((th, tw), jnp.float32)
                 )
                 if t >= 1:
                     wy = wy + jnp.where(t_idx == t - 1, ay, 0.0)
@@ -712,17 +772,17 @@ def _make_kernel2(
 
                     @pl.when((sb <= smax + 1) & (smin_b < sb + _SB))
                     def _(t=t, sb=sb):
-                        inner = [jnp.zeros((_TH, _TW), wdt) for _ in range(5)]
+                        inner = [jnp.zeros((th, tw), wdt) for _ in range(5)]
                         for sv in range(sb, min(sb + _SB, n_s + 1)):
                             wx = (
                                 jnp.where(s_idx == sv, one_m_axw, jnp.zeros((), wdt))
                                 if sv < n_s
-                                else jnp.zeros((_TH, _TW), wdt)
+                                else jnp.zeros((th, tw), wdt)
                             )
                             if sv >= 1:
                                 wx = wx + jnp.where(s_idx == sv - 1, axw, jnp.zeros((), wdt))
                             for c in range(5):
-                                inner[c] = inner[c] + wx * bandv[c][t : t + _TH, sv : sv + _TW]
+                                inner[c] = inner[c] + wx * bandv[c][t : t + th, sv : sv + tw]
                         for c in range(5):
                             acc5[c] += wy * inner[c].astype(jnp.float32)
 
@@ -773,6 +833,8 @@ def update_matrices_banded_tiles_cf(
     s_cap: int = 14,
     precision: str = "fp32",
     r1_offset: int = 0,
+    th: int = _TH,
+    tw: int = _TW,
     interpret: bool = False,
 ):
     """One follow-up window pass over the K tiles listed in ``sel``.
@@ -790,13 +852,13 @@ def update_matrices_banded_tiles_cf(
     in place), and the residual outputs feed the next pass's anchors.
     """
     b = flow_cf.shape[0]
-    ht = -(-h // _TH) * _TH
-    wt = -(-w // _TW) * _TW
+    ht = -(-h // th) * th
+    wt = -(-w // tw) * tw
     pad_y = base_max + d_max_y + 2
     pad_x = base_max + d_max_x + 2
     hp, wp = r1p.shape[-2], r1p.shape[-1]
-    n_i = ht // _TH
-    n_j = wt // _TW
+    n_i = ht // th
+    n_j = wt // tw
     k = sel.shape[0]
     by_c, bx_c, smin_c = cur_window
     prev_arrays = []
@@ -808,7 +870,7 @@ def update_matrices_banded_tiles_cf(
     kernel, band_h, band_w = _make_kernel2(
         h, w, hp, wp, pad_y, pad_x, d_max_y, d_max_x,
         prev_n_s=tuple(prev_n_s), s_cap=s_cap, precision=precision,
-        r1_offset=r1_offset,
+        r1_offset=r1_offset, th=th, tw=tw,
     )
 
     def tile_of(step, sel_ref, *rest):
@@ -821,7 +883,7 @@ def update_matrices_banded_tiles_cf(
 
     def dyn_spec(nc):
         return pl.BlockSpec(
-            (1, nc, _TH, _TW),
+            (1, nc, th, tw),
             lambda s, *refs: (
                 tile_of(s, *refs)[0], 0,
                 tile_of(s, *refs)[1],
@@ -858,7 +920,7 @@ def update_matrices_banded_tiles_cf(
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, 5, band_h, band_w), jnp.float32),
-                pltpu.VMEM((5, _TH, _TW), jnp.float32),
+                pltpu.VMEM((5, th, tw), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -897,11 +959,259 @@ def window_from_residuals(
 
 
 # ---------------------------------------------------------------------------
+# Banded bilinear sampler (generic C-channel warp, clamped coordinates)
+# ---------------------------------------------------------------------------
+
+
+def _make_sample_kernel(
+    channels: int,
+    h: int,
+    w: int,
+    hp: int,
+    wp: int,
+    pad_y: int,
+    pad_x: int,
+    d_max_y: int,
+    d_max_x: int,
+    s_cap: int,
+    th: int = _TH,
+    tw: int = _TW,
+):
+    """C-channel banded bilinear sampler (the TV-L1 warp).
+
+    Same band-DMA / anchored-window / lane-roll machinery as
+    :func:`_make_kernel`, but the epilogue just writes the sampled
+    planes — this replaces the ~20 ns/index general gather that made
+    the XLA TV-L1 warp (ops/tvl1.py _warp_bilinear) 100x off the
+    bandwidth bound.  Coordinate semantics are cv2.remap-style clamp:
+    gx = clip(x + u, 0, w-1) (not Farnebäck's border fallback), so
+    every pixel is live and edge padding makes boundary reads exact.
+    Candidates outside the anchored window are clamped AND counted in
+    the clip output (the TV-L1 driver treats nonzero clips exactly like
+    the Farnebäck escalation ladder).
+    """
+    band_h, band_w = _band_dims(d_max_y, d_max_x, th, tw)
+    n_t = 2 * d_max_y + 2 + 7
+    n_s_full = 2 * d_max_x + 2
+    n_s = min(s_cap, n_s_full) if s_cap else n_s_full
+    _SB = 4
+    assert band_w >= tw + 127 + n_s_full
+
+    def kernel(
+        by_ref, bx_ref, flow_ref, src_ref,
+        out_ref, clip_ref,
+        band2, accc, sem2, *, n_i, n_j,
+    ):
+        bb = pl.program_id(0)
+        ti = pl.program_id(1)
+        tj = pl.program_id(2)
+        y0g = ti * th
+        x0g = tj * tw
+        idx = (bb * n_i + ti) * n_j + tj
+        total = pl.num_programs(0) * n_i * n_j
+
+        def tile_geometry(flat_idx):
+            tj_ = flat_idx % n_j
+            rest = flat_idx // n_j
+            ti_ = rest % n_i
+            bb_ = rest // n_i
+            row0_ = jnp.clip(ti_ * th + by_ref[flat_idx] - d_max_y + pad_y, 0, hp - band_h)
+            col0_ = jnp.clip(tj_ * tw + bx_ref[flat_idx] - d_max_x + pad_x, 0, wp - band_w)
+            row0a_ = pl.multiple_of((row0_ // 8) * 8, 8)
+            col0a_ = pl.multiple_of((col0_ // 128) * 128, 128)
+            return bb_, row0_, col0_, row0a_, col0a_
+
+        def band_dma(flat_idx, slot):
+            bb_, _, _, row0a_, col0a_ = tile_geometry(flat_idx)
+            return pltpu.make_async_copy(
+                src_ref.at[bb_, :, pl.ds(row0a_, band_h), pl.ds(col0a_, band_w)],
+                band2.at[slot],
+                sem2.at[slot],
+            )
+
+        cur = idx % 2
+
+        @pl.when(idx == 0)
+        def _():
+            band_dma(idx, cur).start()
+
+        @pl.when(idx + 1 < total)
+        def _():
+            band_dma(idx + 1, (idx + 1) % 2).start()
+
+        band_dma(idx, cur).wait()
+
+        fx = flow_ref[0, 0]
+        fy = flow_ref[0, 1]
+        _, row0, col0, row0a, col0a = tile_geometry(idx)
+        m_col = col0 - col0a
+        band = band2[cur]
+
+        ii = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + y0g
+        jj = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + x0g
+        # Clamp in continuous coordinates (cv2.remap border-replicate
+        # semantics); every on-grid pixel is then live.
+        gx = jnp.clip(jj.astype(jnp.float32) + fx, 0.0, w - 1.0)
+        gy = jnp.clip(ii.astype(jnp.float32) + fy, 0.0, h - 1.0)
+        x1f = jnp.floor(gx)
+        y1f = jnp.floor(gy)
+        ax = gx - x1f
+        ay = gy - y1f
+        x1i = x1f.astype(jnp.int32)
+        y1i = y1f.astype(jnp.int32)
+        live = (ii < h) & (jj < w)
+
+        t_raw = y1i - ii + (y0g - (row0a - pad_y))
+        t_idx = jnp.clip(t_raw, 0, n_t - 1)
+        s_raw = x1i - jj + (x0g - (col0 - pad_x))
+        s_full = jnp.clip(s_raw, 0, n_s_full - 1)
+        smin = jnp.min(jnp.where(live, s_full, n_s_full - 1))
+        smin = jnp.clip(smin, 0, max(n_s_full - n_s, 0))
+        roll_shift = -(m_col + smin)
+        s_idx = jnp.clip(s_full - smin, 0, n_s - 1)
+        s_over = (s_raw != s_full) | (s_full - smin != s_idx)
+        missed = live & ((t_raw != t_idx) | s_over)
+        clip_ref[0, ti, tj] = jnp.sum(missed.astype(jnp.int32))
+
+        rolled = pltpu.roll(
+            band.reshape(channels * band_h, band_w), shift=roll_shift, axis=1
+        )
+        bandv = [rolled[c * band_h : (c + 1) * band_h] for c in range(channels)]
+
+        live_t = jnp.where(live, t_idx, -1)
+        tmin = jnp.min(jnp.where(live, t_idx, n_t - 1))
+        tmax = jnp.max(live_t)
+        smin_b = jnp.min(jnp.where(live, s_idx, n_s - 1))
+        smax = jnp.max(jnp.where(live, s_idx, 0))
+        accc[...] = jnp.zeros((channels, th, tw), jnp.float32)
+        for t in range(n_t + 1):
+
+            @pl.when((t >= tmin) & (t <= tmax + 1))
+            def _(t=t):
+                wy = jnp.where(t_idx == t, 1.0 - ay, 0.0) if t < n_t else (
+                    jnp.zeros((th, tw), jnp.float32)
+                )
+                if t >= 1:
+                    wy = wy + jnp.where(t_idx == t - 1, ay, 0.0)
+                for sb in range(0, n_s + 1, _SB):
+
+                    @pl.when((sb <= smax + 1) & (smin_b < sb + _SB))
+                    def _(t=t, sb=sb):
+                        inner = [
+                            jnp.zeros((th, tw), jnp.float32)
+                            for _ in range(channels)
+                        ]
+                        for sv in range(sb, min(sb + _SB, n_s + 1)):
+                            wx = (
+                                jnp.where(s_idx == sv, 1.0 - ax, 0.0)
+                                if sv < n_s
+                                else jnp.zeros((th, tw), jnp.float32)
+                            )
+                            if sv >= 1:
+                                wx = wx + jnp.where(s_idx == sv - 1, ax, 0.0)
+                            for c in range(channels):
+                                inner[c] = inner[c] + wx * bandv[c][t : t + th, sv : sv + tw]
+                        for c in range(channels):
+                            accc[c] += wy * inner[c]
+
+        for c in range(channels):
+            out_ref[0, c] = accc[c]
+
+    return kernel, band_h, band_w
+
+
+def warp_sample_banded_cf(
+    flow_cf: jnp.ndarray,
+    srcp: jnp.ndarray,
+    h: int,
+    w: int,
+    d_max_y: int = 8,
+    d_max_x: int = 16,
+    base_max: int = 56,
+    s_cap: int = 14,
+    th: int = _TH,
+    tw: int = _TW,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Banded C-channel bilinear warp: sample srcp at (x, y) + flow.
+
+    flow_cf: (B, 2, ht, wt) channel-first displacement (x, y order, the
+    warp lattice of :func:`warp_grid`); srcp: (B, C, hp, wp) source
+    planes padded by :func:`pad_for_band` (same th/tw).  Returns
+    (samples (B, C, ht, wt), clip (B, n_i, n_j)).  Only [:h, :w] of the
+    samples is meaningful.  Coordinates are clamped to the image (cv2
+    border-replicate), so there is no out-of-bounds fallback channel —
+    the use case is TV-L1's per-warp (I1, I1x, I1y) resampling
+    (ops/tvl1.py), replacing three full-image general gathers.
+    """
+    b, c = srcp.shape[0], srcp.shape[1]
+    ht = -(-h // th) * th
+    wt = -(-w // tw) * tw
+    if flow_cf.shape[-2] != ht or flow_cf.shape[-1] != wt:
+        raise ValueError(
+            f"flow_cf spatial dims {flow_cf.shape[-2:]} must equal the "
+            f"({th},{tw}) warp lattice ({ht},{wt})"
+        )
+    pad_y = base_max + d_max_y + 2
+    pad_x = base_max + d_max_x + 2
+    hp, wp = srcp.shape[-2], srcp.shape[-1]
+    kernel, band_h, band_w = _make_sample_kernel(
+        c, h, w, hp, wp, pad_y, pad_x, d_max_y, d_max_x,
+        s_cap=s_cap, th=th, tw=tw,
+    )
+    n_i = ht // th
+    n_j = wt // tw
+
+    ftiles = flow_cf[:, :, :ht, :wt].reshape(b, 2, n_i, th, n_j, tw)
+    bases = jnp.round(jnp.mean(ftiles, axis=(3, 5))).astype(jnp.int32)
+    bases = jnp.clip(bases, -base_max, base_max)
+    bx_flat = bases[:, 0].reshape(-1)
+    by_flat = bases[:, 1].reshape(-1)
+
+    return pl.pallas_call(
+        functools.partial(kernel, n_i=n_i, n_j=n_j),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, c, ht, wt), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_i, n_j), jnp.int32),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, n_i, n_j),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 2, th, tw),
+                    lambda bb, i, j, *refs: (bb, 0, i, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (1, c, th, tw),
+                    lambda bb, i, j, *refs: (bb, 0, i, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, n_i, n_j), lambda bb, i, j, *refs: (bb, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, c, band_h, band_w), jnp.float32),
+                pltpu.VMEM((c, th, tw), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        interpret=interpret,
+    )(by_flat, bx_flat, flow_cf, srcp)
+
+
+# ---------------------------------------------------------------------------
 # Fused polynomial expansion
 # ---------------------------------------------------------------------------
 
 
-def _poly_kernel_factory(g, xg, xxg, igs, n: int):
+def _poly_kernel_factory(g, xg, xxg, igs, n: int, th: int, tw: int):
     """Build the fused poly-expansion kernel (static taps/Gram factors).
 
     One band DMA per tile (static, aligned offsets thanks to host
@@ -914,8 +1224,8 @@ def _poly_kernel_factory(g, xg, xxg, igs, n: int):
     gl = [float(v) for v in g]
     xgl = [float(v) for v in xg]
     xxgl = [float(v) for v in xxg]
-    band_h = _TH_P + 16
-    band_w = _TW_P + 256
+    band_h = th + 16
+    band_w = tw + 256
     row_off = 8 - n   # first tap row inside the band
     col_off = 128 - n
 
@@ -932,7 +1242,7 @@ def _poly_kernel_factory(g, xg, xxg, igs, n: int):
             ti_ = rest % n_i
             bb_ = rest // n_i
             return pltpu.make_async_copy(
-                img_ref.at[bb_, pl.ds(ti_ * _TH_P, band_h), pl.ds(tj_ * _TW_P, band_w)],
+                img_ref.at[bb_, pl.ds(ti_ * th, band_h), pl.ds(tj_ * tw, band_w)],
                 band2.at[slot],
                 sem2.at[slot],
             )
@@ -955,7 +1265,7 @@ def _poly_kernel_factory(g, xg, xxg, igs, n: int):
         t1 = None
         t2 = None
         for k in range(2 * n + 1):
-            sl = band[row_off + k : row_off + k + _TH_P, :]
+            sl = band[row_off + k : row_off + k + th, :]
             t0 = sl * gl[k] if t0 is None else t0 + sl * gl[k]
             t1 = sl * xgl[k] if t1 is None else t1 + sl * xgl[k]
             t2 = sl * xxgl[k] if t2 is None else t2 + sl * xxgl[k]
@@ -964,9 +1274,9 @@ def _poly_kernel_factory(g, xg, xxg, igs, n: int):
         b1 = b2 = b3 = b4 = b5 = b6 = None
         for k in range(2 * n + 1):
             c = col_off + k
-            s0 = t0[:, c : c + _TW_P]
-            s1 = t1[:, c : c + _TW_P]
-            s2 = t2[:, c : c + _TW_P]
+            s0 = t0[:, c : c + tw]
+            s1 = t1[:, c : c + tw]
+            s2 = t2[:, c : c + tw]
             b1 = s0 * gl[k] if b1 is None else b1 + s0 * gl[k]
             b2 = s0 * xgl[k] if b2 is None else b2 + s0 * xgl[k]
             b4 = s0 * xxgl[k] if b4 is None else b4 + s0 * xxgl[k]
@@ -984,15 +1294,19 @@ def _poly_kernel_factory(g, xg, xxg, igs, n: int):
 
 
 def poly_exp_fused_cf(
-    img: jnp.ndarray, n: int = 5, sigma: float = 1.2, interpret: bool = False
+    img: jnp.ndarray, n: int = 5, sigma: float = 1.2, grid=None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Channel-first fused polynomial expansion: (B, H, W) → (B, 5, ht, wt).
 
-    ht/wt are the (_TH_P, _TW_P) tile-padded extents; only [:h, :w] is
-    the true expansion (the padding holds stencil-of-replicated-border
-    values — finite but not meaningful).  The production driver feeds
-    this directly to update_matrices_banded_cf (tile sizes are chosen
-    so the geometry is compatible), avoiding any output transpose.
+    ``grid`` is the target padded extent (ht, wt) — usually the warp
+    kernel's per-level grid, so the output feeds
+    update_matrices_banded_cf with zero re-padding; None falls back to
+    the legacy (_TH_P, _TW_P) lattice.  Only [:h, :w] is the true
+    expansion (the padding holds stencil-of-replicated-border values —
+    finite but not meaningful).  Tile sizes are chosen per call to
+    divide the grid exactly (plane_tiles), so no pixel outside the grid
+    is ever computed.
     """
     from btcs_pnes_optical_flow_tpu.ops.farneback import _poly_exp_tables
 
@@ -1002,8 +1316,14 @@ def poly_exp_fused_cf(
         raise ValueError(f"poly_exp_fused supports poly_n <= 8, got {n}")
     g, xg, xxg, igs = _poly_exp_tables(n, sigma)
     b, h, w = img.shape
-    ht = -(-h // _TH_P) * _TH_P
-    wt = -(-w // _TW_P) * _TW_P
+    if grid is None:
+        ht = -(-h // _TH_P) * _TH_P
+        wt = -(-w // _TW_P) * _TW_P
+    else:
+        ht, wt = grid
+        if ht < h or wt < w:
+            raise ValueError(f"grid {grid} must cover the image ({h}, {w})")
+    th, tw = plane_tiles(ht, wt, channels=1)
     # Host padding: 8 rows / 128 cols of halo alignment on the leading
     # side, halo + tile padding on the trailing side; edge mode
     # reproduces the replicate border.
@@ -1012,9 +1332,9 @@ def poly_exp_fused_cf(
         ((0, 0), (8, 8 + ht - h), (128, 128 + wt - w)),
         mode="edge",
     )
-    kernel, band_h, band_w = _poly_kernel_factory(g, xg, xxg, igs, n)
-    n_i = ht // _TH_P
-    n_j = wt // _TW_P
+    kernel, band_h, band_w = _poly_kernel_factory(g, xg, xxg, igs, n, th, tw)
+    n_i = ht // th
+    n_j = wt // tw
     return pl.pallas_call(
         functools.partial(kernel, n_i=n_i, n_j=n_j),
         out_shape=jax.ShapeDtypeStruct((b, 5, ht, wt), jnp.float32),
@@ -1022,7 +1342,7 @@ def poly_exp_fused_cf(
             grid=(b, n_i, n_j),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
-                (1, 5, _TH_P, _TW_P),
+                (1, 5, th, tw),
                 lambda bb, i, j, *refs: (bb, 0, i, j),
                 memory_space=pltpu.VMEM,
             ),
@@ -1053,12 +1373,12 @@ def poly_exp_fused(
 # ---------------------------------------------------------------------------
 
 
-def _flow_kernel_factory(weights, winsize: int):
+def _flow_kernel_factory(weights, winsize: int, th: int, tw: int):
     """Box or Gaussian window sum over the 5 M planes + per-pixel solve."""
     wl = [float(v) for v in weights]
     half = winsize // 2
-    band_h = _TH_P + 16
-    band_w = _TW_P + 256
+    band_h = th + 16
+    band_w = tw + 256
     row_off = 8 - half
     col_off = 128 - half
 
@@ -1075,7 +1395,7 @@ def _flow_kernel_factory(weights, winsize: int):
             ti_ = rest % n_i
             bb_ = rest // n_i
             return pltpu.make_async_copy(
-                m_ref.at[bb_, :, pl.ds(ti_ * _TH_P, band_h), pl.ds(tj_ * _TW_P, band_w)],
+                m_ref.at[bb_, :, pl.ds(ti_ * th, band_h), pl.ds(tj_ * tw, band_w)],
                 band2.at[slot],
                 sem2.at[slot],
             )
@@ -1097,12 +1417,12 @@ def _flow_kernel_factory(weights, winsize: int):
         for c in range(5):
             v = None
             for k in range(winsize):
-                sl = band[c, row_off + k : row_off + k + _TH_P, :]
+                sl = band[c, row_off + k : row_off + k + th, :]
                 v = sl * wl[k] if v is None else v + sl * wl[k]
             hsum = None
             for k in range(winsize):
                 cc = col_off + k
-                s = v[:, cc : cc + _TW_P]
+                s = v[:, cc : cc + tw]
                 hsum = s * wl[k] if hsum is None else hsum + s * wl[k]
             sums.append(hsum)
 
@@ -1117,12 +1437,13 @@ def _flow_kernel_factory(weights, winsize: int):
 def update_flow_fused_cf(
     mp: jnp.ndarray, h: int, w: int, winsize: int = 15, gaussian_win: bool = False,
     interpret: bool = False,
+    # tile sizes are derived from mp's own grid via plane_tiles
 ) -> jnp.ndarray:
     """Channel-first fused window-average + solve.
 
     mp: (B, 5, ht+16, wt+256) — M pre-padded with the (8, 128) aligned
     halo (edge replicate of the true [:h, :w] grid), where ht/wt are
-    the (_TH_P, _TW_P)-padded extents.  Returns flow (B, 2, ht, wt);
+    the (th, tw)-padded extents.  Returns flow (B, 2, ht, wt);
     only [:h, :w] is meaningful, but the padding values are solves of
     replicated normal equations — finite and representative, so the
     output feeds update_matrices_banded_cf directly (its per-tile base
@@ -1142,11 +1463,12 @@ def update_flow_fused_cf(
     b = mp.shape[0]
     ht = mp.shape[-2] - 16
     wt = mp.shape[-1] - 256
-    if ht % _TH_P or wt % _TW_P or ht < h or wt < w:
+    if ht % 8 or wt % 128 or ht < h or wt < w:
         raise ValueError(f"mp spatial dims {mp.shape[-2:]} must be (ht+16, wt+256)")
-    kernel, band_h, band_w = _flow_kernel_factory(weights, winsize)
-    n_i = ht // _TH_P
-    n_j = wt // _TW_P
+    th, tw = plane_tiles(ht, wt, channels=5)
+    kernel, band_h, band_w = _flow_kernel_factory(weights, winsize, th, tw)
+    n_i = ht // th
+    n_j = wt // tw
     return pl.pallas_call(
         functools.partial(kernel, n_i=n_i, n_j=n_j),
         out_shape=jax.ShapeDtypeStruct((b, 2, ht, wt), jnp.float32),
@@ -1154,7 +1476,7 @@ def update_flow_fused_cf(
             grid=(b, n_i, n_j),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
-                (1, 2, _TH_P, _TW_P),
+                (1, 2, th, tw),
                 lambda bb, i, j, *refs: (bb, 0, i, j),
                 memory_space=pltpu.VMEM,
             ),
@@ -1167,13 +1489,18 @@ def update_flow_fused_cf(
     )(mp)
 
 
-def pad_for_solve(m_cf: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+def pad_for_solve(m_cf: jnp.ndarray, h: int, w: int, grid=None) -> jnp.ndarray:
     """Edge-replicate the true [:h, :w] grid of channel-first M into the
-    (8, 128)-haloed, (_TH_P, _TW_P)-tile-padded layout update_flow_fused_cf
-    expects.  One fused slice+pad — the only per-iteration HLO glue left
-    on the hot path."""
-    ht = -(-h // _TH_P) * _TH_P
-    wt = -(-w // _TW_P) * _TW_P
+    (8, 128)-haloed, grid-padded layout update_flow_fused_cf expects.
+    One fused slice+pad — the only per-iteration HLO glue left on the
+    hot path.  ``grid``: target (ht, wt) — usually the warp grid, so
+    the solve output feeds the next warp iteration with zero re-padding;
+    None falls back to the legacy (_TH_P, _TW_P) lattice."""
+    if grid is None:
+        ht = -(-h // _TH_P) * _TH_P
+        wt = -(-w // _TW_P) * _TW_P
+    else:
+        ht, wt = grid
     return jnp.pad(
         m_cf[:, :, :h, :w],
         ((0, 0), (0, 0), (8, 8 + ht - h), (128, 128 + wt - w)),

@@ -158,3 +158,18 @@ def test_pos_msec_timestamps(clip):
     src = ArraySource(clip, fps=30.0, pos_msec=pos)
     res = pipeline.run_flow_stage(src, skel, [ROI], chunk_pairs=32)
     np.testing.assert_allclose(res.t_sec, pos / 1000.0, atol=1e-9)
+
+
+def test_chunk_log_reports_escalation_counters(clip, caplog):
+    """Production telemetry (VERDICT r2 #9): every chunk progress line
+    must carry the escalation counters (deep multi-window tier / exact
+    engine) so operators can see how often the banded envelope is left."""
+    import logging
+
+    skel = make_skeleton(len(clip))
+    with caplog.at_level(logging.INFO, logger="btcs_pnes_optical_flow_tpu"):
+        pipeline.run_flow_stage(ArraySource(clip, fps=30.0), skel, [ROI], chunk_pairs=32)
+    chunk_lines = [r.getMessage() for r in caplog.records if "pairs done" in r.getMessage()]
+    assert chunk_lines, "no chunk progress lines logged"
+    for line in chunk_lines:
+        assert "escalated" in line and "deep tier" in line and "exact engine" in line
