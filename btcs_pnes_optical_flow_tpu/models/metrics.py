@@ -130,6 +130,79 @@ def pc1_metrics_core(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
+def _estimate_fs_batch(t_all, pc1_all, params: MetricParams = MetricParams()):
+    return jax.vmap(lambda t, p: estimate_fs(t, p, params))(t_all, pc1_all)
+
+
+@functools.partial(jax.jit, static_argnames=("k_smooth", "p95_win_n", "params"))
+def _pc1_metrics_core_batch(t_all, pc1_all, k_smooth, p95_win_n,
+                            params: MetricParams = MetricParams()):
+    return jax.vmap(
+        lambda t, p: pc1_metrics_core(t, p, k_smooth, p95_win_n, params)
+    )(t_all, pc1_all)
+
+
+def pc1_metrics_batch(
+    t_all: np.ndarray,
+    pc1_all: np.ndarray,
+    params: MetricParams = MetricParams(),
+) -> PC1Metrics:
+    """Batched metric head: (K, N) waveforms → PC1Metrics of (K,) arrays.
+
+    Semantically identical to K calls of :func:`pc1_metrics` (the
+    reference loop over videos/ROIs, optical_PC1.py:234-299), but the
+    fs estimate runs as ONE vmapped program for all K rows and the main
+    metrics program runs once per distinct fs-derived window shape
+    (constant-rate cohorts share one compilation) — two device round
+    trips total instead of ~10 per row, which dominated the cohort
+    wall-clock on the tunneled single-chip host.
+
+    Rows may be NaN-padded to a common capacity N; padding is ignored
+    by the compaction step exactly like trailing invalid samples.
+    """
+    t_all = np.asarray(t_all, np.float32)
+    pc1_all = np.asarray(pc1_all, np.float32)
+    k = t_all.shape[0]
+    fs_b, status_b = _estimate_fs_batch(jnp.asarray(t_all), jnp.asarray(pc1_all), params)
+    fs_b = np.asarray(fs_b)
+    status_b = np.asarray(status_b)
+
+    out = {f: np.full((k,), np.nan, np.float64) for f in
+           ("pc1_area", "ads_slope", "ads_r2", "kendall_tau", "kendall_p")}
+    peak_n = np.zeros((k,), np.int64)
+    status = status_b.astype(np.int64).copy()
+
+    # Group live rows by their static window lengths (one compile +
+    # one dispatch per distinct sampling rate — usually exactly one).
+    groups: dict = {}
+    for i in range(k):
+        if status_b[i] != 0:
+            continue
+        fs_f = float(fs_b[i])
+        key = (
+            smooth_window_len(fs_f, params.smooth_sec),
+            max(3, smooth_window_len(fs_f, params.p95_win_sec)),
+        )
+        groups.setdefault(key, []).append(i)
+    for (k_smooth, p95_win_n), idx in groups.items():
+        sel = np.asarray(idx)
+        res = _pc1_metrics_core_batch(
+            jnp.asarray(t_all[sel]), jnp.asarray(pc1_all[sel]),
+            k_smooth, p95_win_n, params,
+        )
+        res = jax.tree.map(np.asarray, res)
+        for f in out:
+            out[f][sel] = getattr(res, f)
+        peak_n[sel] = res.peak_n
+        status[sel] = res.status
+    return PC1Metrics(
+        pc1_area=out["pc1_area"], ads_slope=out["ads_slope"], ads_r2=out["ads_r2"],
+        kendall_tau=out["kendall_tau"], kendall_p=out["kendall_p"],
+        peak_n=peak_n, status=status,
+    )
+
+
 def pc1_metrics(t_all, pc1_all, params: MetricParams = MetricParams(), strict: bool = False):
     """Host-level metric extraction (two-phase fs handling).
 
