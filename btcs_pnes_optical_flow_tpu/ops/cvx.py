@@ -206,6 +206,57 @@ def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     return left * (1.0 - fx) + right * fx
 
 
+def _resize_axis_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """Dense (n_out, n_in) interpolation matrix with the same tap/weight
+    law as resize_bilinear's axis_coeffs (cv2 INTER_LINEAR)."""
+    scale = n_in / n_out
+    d = np.arange(n_out, dtype=np.float64)
+    s = (d + 0.5) * scale - 0.5
+    i0 = np.floor(s).astype(np.int64)
+    frac = s - i0
+    frac = np.where(i0 < 0, 0.0, frac)
+    i0 = np.clip(i0, 0, n_in - 1)
+    i1 = np.clip(i0 + 1, 0, n_in - 1)
+    w = np.zeros((n_out, n_in), np.float32)
+    np.add.at(w, (d.astype(np.int64), i0), (1.0 - frac).astype(np.float32))
+    np.add.at(w, (d.astype(np.int64), i1), frac.astype(np.float32))
+    return w
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def resize_bilinear_mm(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """resize_bilinear as two dense matmuls instead of gathers.
+
+    Bilinear resize at static sizes is a linear map: out = Wy @ img @
+    Wx^T with 2-nonzero rows.  On TPU this runs on the MXU and — the
+    load-bearing property — keeps GATHERS out of the program: the
+    gather-based resize upstream of a banded-warp + resident-pd Mosaic
+    kernel chain is the pinned trigger of a silent whole-program
+    miscompile (scripts/repro_mosaic_mixed_levels.py), and general
+    gathers are ~20 ns/index on TPU anyway.  Precision is pinned
+    HIGHEST so the fp32 result equals the gather formulation (each row
+    reduces to w0*a + w1*b; the remaining terms are exact zeros), which
+    tests/test_tvl1.py asserts.  NaN caveat: a NaN input pixel poisons
+    its whole output row/column through 0*NaN — use only on finite
+    planes (images and flow fields are finite by construction here).
+    """
+    in_h, in_w = img.shape[-2], img.shape[-1]
+    if (in_h, in_w) == (out_h, out_w):
+        return img
+    out = img
+    if in_h != out_h:
+        wy = jnp.asarray(_resize_axis_matrix(in_h, out_h))
+        out = jnp.einsum(
+            "oh,...hw->...ow", wy, out, precision=jax.lax.Precision.HIGHEST
+        )
+    if in_w != out_w:
+        wx = jnp.asarray(_resize_axis_matrix(in_w, out_w))
+        out = jnp.einsum(
+            "pw,...hw->...hp", wx, out, precision=jax.lax.Precision.HIGHEST
+        )
+    return out
+
+
 _XY_SHIFT = 16
 _XY_ONE = 1 << _XY_SHIFT
 

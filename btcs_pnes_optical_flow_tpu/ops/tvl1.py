@@ -64,6 +64,18 @@ class TVL1Params:
     warp_d_max_x: int = 16     # banded warp within-tile horizontal reach
     warp_base_max: int = 56    # banded warp per-tile base displacement cap
     warp_s_cap: int = 14       # banded warp anchored-window span
+    # Primal–dual inner-loop engine.  "resident" runs each warp's whole
+    # Chambolle chain inside one Pallas kernel with all state in VMEM
+    # (ops/tvl1_pallas.py) — one HBM round trip per warp instead of one
+    # per iteration, bit-equal to "xla" at epsilon=0 (verified on
+    # hardware).  "xla" is the fused-elementwise lax.while_loop with
+    # the epsilon early exit.  Measured on v5e-1 at 480p/b=16 (full
+    # pipeline): resident 12.6 fps vs xla 9.5 — and the win required
+    # factoring the per-iteration divides into hoisted reciprocals
+    # (VPU divides are ~10x muls; the divide-heavy form ran the Mosaic
+    # kernel at 0.3 Gpix-iter/s, the factored form ~4x faster).
+    # "auto" = resident on TPU and under interpret.
+    pd_engine: str = "auto"    # "auto" | "xla" | "resident"
 
 
 def _grad(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -146,11 +158,23 @@ def _warp3_banded(i1, i1x_full, i1y_full, u0, v0, p: TVL1Params, interpret: bool
     return s[:, 0], s[:, 1], s[:, 2], jnp.sum(clip, axis=(1, 2))
 
 
-def _tvl1_level(i0, i1, u, v, p: TVL1Params, banded: bool, interpret: bool):
+def _resident_ok(h: int, w: int, p: TVL1Params) -> bool:
+    """Row-block geometry check for the VMEM-resident chain: accept
+    when the redundant halo recompute stays under ~3x (bh >= halo)."""
+    from btcs_pnes_optical_flow_tpu.ops.tvl1_pallas import _block_geometry
+
+    bh, halo, _, _, _ = _block_geometry(h, w, p.n_iterations)
+    return halo == 0 or bh >= halo
+
+
+def _tvl1_level(i0, i1, u, v, p: TVL1Params, banded: bool, resident: bool,
+                interpret: bool):
     """One pyramid level: n_warps × (linearize + primal-dual)."""
     l_t = p.lambda_ * p.theta
     tau_theta = p.tau / p.theta
     clip_total = jnp.zeros((u.shape[0],), jnp.int32)
+    h, w = u.shape[-2], u.shape[-1]
+    resident = resident and _resident_ok(h, w, p)
 
     for _ in range(p.n_warps):
         # Fresh dual variables per warp (OpenCV semantics).  Measured:
@@ -178,28 +202,35 @@ def _tvl1_level(i0, i1, u, v, p: TVL1Params, banded: bool, interpret: bool):
         grad_sq = i1wx * i1wx + i1wy * i1wy
         rho_c = i1w - i1wx * u0 - i1wy * v0 - i0
 
+        if resident:
+            from btcs_pnes_optical_flow_tpu.ops.tvl1_pallas import (
+                pd_chain_resident,
+            )
+
+            u, v = pd_chain_resident(
+                u, v, rho_c, i1wx, i1wy, grad_sq,
+                n_iterations=p.n_iterations,
+                tau=p.tau, lambda_=p.lambda_, theta=p.theta,
+                interpret=interpret,
+            )
+            continue
+
+        # Loop-invariant hoists: one reciprocal replaces the two
+        # per-iteration divides in the proximal step (VPU divides cost
+        # ~an order of magnitude over muls; both pd engines use the
+        # identical factored form so their eps=0 equality holds).
+        neg_inv_gs = -1.0 / jnp.maximum(grad_sq, 1e-9)
+        wx_igs = i1wx * neg_inv_gs
+        wy_igs = i1wy * neg_inv_gs
+
         def pd_iter(carry):
             u, v, p11, p12, p21, p22, _it, _err = carry
             rho = rho_c + i1wx * u + i1wy * v
             # L1 proximal (thresholding) step.
-            d1 = jnp.where(
-                rho < -l_t * grad_sq,
-                l_t * i1wx,
-                jnp.where(
-                    rho > l_t * grad_sq,
-                    -l_t * i1wx,
-                    -rho * i1wx / jnp.maximum(grad_sq, 1e-9),
-                ),
-            )
-            d2 = jnp.where(
-                rho < -l_t * grad_sq,
-                l_t * i1wy,
-                jnp.where(
-                    rho > l_t * grad_sq,
-                    -l_t * i1wy,
-                    -rho * i1wy / jnp.maximum(grad_sq, 1e-9),
-                ),
-            )
+            lo = rho < -l_t * grad_sq
+            hi = rho > l_t * grad_sq
+            d1 = jnp.where(lo, l_t * i1wx, jnp.where(hi, -l_t * i1wx, rho * wx_igs))
+            d2 = jnp.where(lo, l_t * i1wy, jnp.where(hi, -l_t * i1wy, rho * wy_igs))
             u_aux = u + d1
             v_aux = v + d2
             # TV proximal via one Chambolle dual step per field.
@@ -209,10 +240,12 @@ def _tvl1_level(i0, i1, u, v, p: TVL1Params, banded: bool, interpret: bool):
             vx, vy = _grad(v_new)
             ng_u = jnp.sqrt(ux * ux + uy * uy)
             ng_v = jnp.sqrt(vx * vx + vy * vy)
-            p11 = (p11 + tau_theta * ux) / (1.0 + tau_theta * ng_u)
-            p12 = (p12 + tau_theta * uy) / (1.0 + tau_theta * ng_u)
-            p21 = (p21 + tau_theta * vx) / (1.0 + tau_theta * ng_v)
-            p22 = (p22 + tau_theta * vy) / (1.0 + tau_theta * ng_v)
+            r_u = 1.0 / (1.0 + tau_theta * ng_u)
+            r_v = 1.0 / (1.0 + tau_theta * ng_v)
+            p11 = (p11 + tau_theta * ux) * r_u
+            p12 = (p12 + tau_theta * uy) * r_u
+            p21 = (p21 + tau_theta * vx) * r_v
+            p22 = (p22 + tau_theta * vy) * r_v
             # Mean squared update, max over the batch (a batched early
             # stop can only exit when every pair has converged).
             err = jnp.max(
@@ -245,6 +278,25 @@ def _resolve_engine(engine: str) -> bool:
     return engine == "banded"
 
 
+def _resolve_pd_engine(engine: str, interpret: bool) -> bool:
+    if engine == "auto":
+        return interpret or jax.default_backend() == "tpu"
+    if engine not in ("xla", "resident"):
+        raise ValueError(f"unknown TV-L1 pd_engine {engine!r}")
+    return engine == "resident"
+
+
+def _pyramid_sizes(h: int, w: int, params: TVL1Params):
+    sizes = [(h, w)]
+    for _ in range(params.n_scales - 1):
+        hh, ww = sizes[-1]
+        nh, nw = max(round(hh * params.scale_step), 16), max(round(ww * params.scale_step), 16)
+        if (nh, nw) == sizes[-1]:
+            break
+        sizes.append((nh, nw))
+    return sizes
+
+
 @functools.partial(jax.jit, static_argnames=("params", "return_clip", "interpret"))
 def tvl1_flow(
     prev: jnp.ndarray,
@@ -259,37 +311,41 @@ def tvl1_flow(
     candidates the banded engine clamped (0 ⇒ the banded result equals
     the exact-gather result up to fp rounding; always 0 for the exact
     engine) — the same never-silent contract as the Farnebäck driver.
+
+    The pyramid resizes use cvx.resize_bilinear_mm (MXU matmuls), NOT
+    the gather-based cvx.resize_bilinear: a gather-lowered resize in
+    the same program as the banded-warp + resident-pd Mosaic kernel
+    chain silently NaNs the warp kernel's output on the v5e stack —
+    pinned with a full bisection matrix in
+    scripts/repro_mosaic_mixed_levels.py.  With the matmul resize the
+    whole multi-level pyramid compiles as one program, bit-equal to
+    the xla pd engine at epsilon=0 (verified on hardware).
     """
     squeeze = prev.ndim == 2
     if squeeze:
         prev = prev[None]
         curr = curr[None]
     banded = _resolve_engine(params.warp_engine)
+    resident = _resolve_pd_engine(params.pd_engine, interpret)
     b, h, w = prev.shape
     i0f = prev.astype(jnp.float32) / 255.0
     i1f = curr.astype(jnp.float32) / 255.0
 
-    sizes = [(h, w)]
-    for _ in range(params.n_scales - 1):
-        hh, ww = sizes[-1]
-        nh, nw = max(round(hh * params.scale_step), 16), max(round(ww * params.scale_step), 16)
-        if (nh, nw) == sizes[-1]:
-            break
-        sizes.append((nh, nw))
-
     u = None
-    for (hh, ww) in reversed(sizes):
-        i0s = cvx.resize_bilinear(cvx.gaussian_blur_reflect101(i0f, 5, 0.8), hh, ww)
-        i1s = cvx.resize_bilinear(cvx.gaussian_blur_reflect101(i1f, 5, 0.8), hh, ww)
+    for (hh, ww) in reversed(_pyramid_sizes(h, w, params)):
+        i0s = cvx.resize_bilinear_mm(cvx.gaussian_blur_reflect101(i0f, 5, 0.8), hh, ww)
+        i1s = cvx.resize_bilinear_mm(cvx.gaussian_blur_reflect101(i1f, 5, 0.8), hh, ww)
         if u is None:
             u = jnp.zeros((b, hh, ww), jnp.float32)
             v = jnp.zeros((b, hh, ww), jnp.float32)
             clips = jnp.zeros((b,), jnp.int32)
         else:
             inv = 1.0 / params.scale_step
-            u = cvx.resize_bilinear(u, hh, ww) * inv
-            v = cvx.resize_bilinear(v, hh, ww) * inv
-        u, v, clip_lv = _tvl1_level(i0s, i1s, u, v, params, banded, interpret)
+            u = cvx.resize_bilinear_mm(u, hh, ww) * inv
+            v = cvx.resize_bilinear_mm(v, hh, ww) * inv
+        u, v, clip_lv = _tvl1_level(
+            i0s, i1s, u, v, params, banded, resident, interpret
+        )
         clips = clips + clip_lv
 
     flow = jnp.stack([u, v], axis=-1)

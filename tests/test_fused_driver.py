@@ -60,6 +60,7 @@ def test_fused_pair_matches_exact(rng):
     assert int(np.asarray(clips).sum()) == 0
 
 
+@pytest.mark.slow
 def test_fused_seq_matches_pair(rng):
     # 64x96 (vs the full-pyramid anchor above at 96x160): this compares
     # two implementations of the same driver, so the smaller grid keeps
@@ -80,6 +81,7 @@ def test_fused_seq_matches_pair(rng):
     assert np.asarray(clips).shape == (3,)
 
 
+@pytest.mark.slow
 def test_fused_s_cap_and_bf16_epe(rng):
     frames = _textured_frames(rng, 3, 64, 96)
     p, c = jnp.asarray(frames[:-1]), jnp.asarray(frames[1:])
@@ -147,6 +149,7 @@ def test_s_cap_overflow_is_counted(rng):
     assert int(np.asarray(clip).sum()) > 0
 
 
+@pytest.mark.slow
 def test_fused_use_initial_flow(rng):
     frames = _textured_frames(rng, 2, 64, 96)
     p, c = jnp.asarray(frames[0]), jnp.asarray(frames[1])
@@ -159,6 +162,7 @@ def test_fused_use_initial_flow(rng):
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_dual_window_covers_bimodal_flow(rng):
     """Bucketed follow-up window: bimodal motion (static background +
     fast region spanning ~27 slots) exceeds the anchored span cap, but
