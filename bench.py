@@ -86,6 +86,13 @@ def main(chunk: int = None):
     from btcs_pnes_optical_flow_tpu.models.flow import roi_body_flow_checked
 
     cfg = PipelineConfig()
+    # Production-throughput precision: bf16 candidate MACs in the banded
+    # warp (fp32 accumulation).  Measured ~1e-2 px EPE vs the fp32 path —
+    # 10x inside the reference's 0.1 px contract — and EPE-gated at this
+    # exact geometry by tests/test_pallas_kernels.py::
+    # test_fused_480p_bf16_epe_gate.  Clip counting (and therefore the
+    # escalation ladder) is displacement-geometric and unaffected.
+    flow_p = dataclasses.replace(cfg.flow, warp_precision="bf16")
     masks = jnp.asarray(fill_poly_mask(H, W, roi)[None])
     exd = jnp.asarray(ex)
     eyd = jnp.asarray(ey)
@@ -107,8 +114,8 @@ def main(chunk: int = None):
     # escalation tier (production semantics of run_flow_stage — pairs
     # that clip the span re-run with the full window, so the timed
     # region below includes that cost honestly).
-    wide = dataclasses.replace(cfg.flow, warp_dual_frac=1.0, warp_dual_passes=4)
-    out = roi_body_flow_seq(chunks[0], exd, eyd, masks, cfg.flow)
+    wide = dataclasses.replace(flow_p, warp_dual_frac=1.0, warp_dual_passes=4)
+    out = roi_body_flow_seq(chunks[0], exd, eyd, masks, flow_p)
     force(out)
     wf = roi_body_flow_checked(
         chunks[0][:8], chunks[0][1:9], exd[:8], eyd[:8], masks, wide
@@ -119,7 +126,7 @@ def main(chunk: int = None):
     t0 = time.perf_counter()
     # Dispatch every chunk first (async: compute of chunk k+1 overlaps
     # the resolution of chunk k), then resolve.
-    pending = [roi_body_flow_seq(c, exd, eyd, masks, cfg.flow) for c in chunks]
+    pending = [roi_body_flow_seq(c, exd, eyd, masks, flow_p) for c in chunks]
     feats = []
     for ci, (f, clips) in enumerate(pending):
         feats.append(f)
@@ -196,15 +203,20 @@ def bench_1080p():
             theta = 0.3
             ex = jnp.asarray(np.tile(np.array([np.cos(theta), -np.sin(theta)], np.float32), (chunk, 1)))
             ey = jnp.asarray(np.tile(np.array([np.sin(theta), np.cos(theta)], np.float32), (chunk, 1)))
+            import dataclasses
+
             cfg = PipelineConfig()
+            # Same production-throughput precision as the primary line
+            # (bf16 warp MACs, EPE-gated — see main()).
+            flow_p = dataclasses.replace(cfg.flow, warp_precision="bf16")
             chunks = [jnp.asarray(frames[s : s + chunk + 1]) for s in range(0, n_pairs, chunk)]
 
             def force(tree):
                 return [np.asarray(x) for x in jax.tree.leaves(tree)]
 
-            force(roi_body_flow_seq(chunks[0], ex, ey, masks, cfg.flow))  # compile
+            force(roi_body_flow_seq(chunks[0], ex, ey, masks, flow_p))  # compile
             t0 = time.perf_counter()
-            feats = [roi_body_flow_seq(c, ex, ey, masks, cfg.flow)[0] for c in chunks]
+            feats = [roi_body_flow_seq(c, ex, ey, masks, flow_p)[0] for c in chunks]
             [force(f) for f in feats]
             fps = n_pairs / (time.perf_counter() - t0)
             print(

@@ -94,6 +94,13 @@ class FarnebackParams:
     # "bf16" runs the warp candidate MACs in bfloat16 (float32
     # accumulation): ~2x VPU throughput at ~1e-2 px EPE vs the fp32
     # banded path (still far under the 0.1 px reference contract).
+    # Decision (round 3): "bf16" is the production-throughput setting —
+    # bench.py uses it and tests/test_pallas_kernels.py::
+    # test_fused_480p_bf16_epe_gate pins its EPE at the bench geometry.
+    # The library default stays "fp32" so the differential story
+    # (~2e-5 px vs the exact engine) holds for every API user who did
+    # not explicitly opt into reduced precision.  Clip counting and the
+    # escalation ladder are displacement-geometric — identical in both.
     warp_precision: str = "fp32"
     # Multi-window escalation budget: after the fast anchored pass,
     # each follow-up pass re-visits the top ceil(frac * n_tiles) most-

@@ -108,6 +108,47 @@ def test_fused_480p_bench_geometry_vs_exact(rng):
     assert diff < 1e-3, f"banded vs exact differ by {diff} px at 480p"
 
 
+def test_fused_480p_bf16_epe_gate(rng):
+    """EPE regression gate for the bf16 production-throughput config.
+
+    warp_precision="bf16" runs the banded warp's candidate MACs in
+    bfloat16 (fp32 accumulation) for ~2x VPU width (+7% end to end,
+    docs/PERFORMANCE.md).  bench.py uses it as the production setting;
+    this gate pins its accuracy cost at the real bench geometry so a
+    kernel change that silently degrades bf16 (e.g. moving an
+    accumulation into bf16) fails CI rather than the 0.1 px reference
+    contract (reference optical_flow.py:48-56 params).
+    """
+    from btcs_pnes_optical_flow_tpu.config import FarnebackParams
+    from btcs_pnes_optical_flow_tpu.ops.farneback_fused import farneback_flow_seq
+
+    h, w = 480, 640
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+
+    def tex(fx, fy):
+        x2, y2 = xx + fx, yy + fy
+        img = (
+            np.sin(x2 / 13) * np.cos(y2 / 11)
+            + 0.6 * np.sin(x2 / 5 + y2 / 7)
+            + 0.3 * np.cos(x2 / 29 - y2 / 17)
+        ) * 55 + 128
+        return np.clip(img + rng.normal(0, 1, (h, w)), 0, 255).astype(np.float32)
+
+    fx = 14.0 * np.sin(2 * np.pi * xx / 1900) + 6.0 * np.cos(2 * np.pi * yy / 1100)
+    fy = -9.0 * np.cos(2 * np.pi * xx / 1700) + 4.0 * np.sin(2 * np.pi * yy / 900)
+    frames = jnp.asarray(np.stack([tex(0, 0), tex(fx, fy)]))
+
+    exact = np.asarray(fb.farneback_flow(frames[:-1], frames[1:]))
+    got, clips = farneback_flow_seq(
+        frames, FarnebackParams(warp_precision="bf16"), return_clip=True
+    )
+    assert int(np.asarray(clips).sum()) == 0
+    epe = np.sqrt(((np.asarray(got) - exact) ** 2).sum(-1))
+    # Measured ~1e-2 px; the reference contract is 0.1 px.  Gate at the
+    # midpoint so drift is caught well before the contract breaks.
+    assert epe.max() < 0.05, f"bf16 EPE {epe.max():.4f} px exceeds the 0.05 gate"
+
+
 def test_tvl1_banded_matches_exact_on_tpu(rng):
     """Banded sampler end to end on hardware: TV-L1 with the banded
     Pallas warp vs the exact XLA gather warp (BASELINE config 5)."""
