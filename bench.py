@@ -242,6 +242,8 @@ def bench_cohort():
     from btcs_pnes_optical_flow_tpu.dataio import contracts
     from btcs_pnes_optical_flow_tpu.parallel.runner import CohortItem, run_cohort
 
+    import jax.numpy as jnp
+
     n_videos, n_frames = 4, 129
     roi = np.array([[140.0, 90.0], [520.0, 110.0], [500.0, 400.0], [120.0, 380.0]])
     items = []
@@ -252,7 +254,16 @@ def bench_cohort():
         ex = np.tile(np.array([np.cos(theta), -np.sin(theta)]), (n_frames, 1))
         ey = np.tile(np.array([np.sin(theta), np.cos(theta)]), (n_frames, 1))
         skel = contracts.Skeleton(time_all=t, ex=ex, ey=ey, fps=30.0)
-        items.append(CohortItem(name=f"v{v}", video=clip, skeleton=skel, roi_polygons=[roi]))
+        # Device-resident clips: staging 158 MB through the dev tunnel
+        # costs ~6 s at its measured ~26 MB/s — a tunnel artifact, not
+        # TPU h2d (same policy as the primary bench; production overlaps
+        # staging with decode via ChunkPrefetcher / device_put).
+        items.append(
+            CohortItem(
+                name=f"v{v}", video=jnp.asarray(clip), skeleton=skel,
+                roi_polygons=[roi],
+            )
+        )
 
     # Production cohort execution: the video axis on a (single-chip)
     # mesh — the whole 4-video chunk is ONE dispatched program, and the
@@ -300,7 +311,13 @@ def bench_tvl1():
     def force(x):
         return np.asarray(jax.tree.leaves(x)[0]).ravel()[0]
 
-    p_banded = TVL1Params(warp_engine="banded")
+    # epsilon=0 pins BOTH engines to the full static iteration count:
+    # the xla engine's while-loop early exit is content-dependent (it
+    # exits after a handful of iterations on easy clips), which made
+    # the ratio swing 4.8x-7x run to run.  With epsilon=0 both sides
+    # run identical iteration schedules and the ratio isolates the
+    # warp + pd-chain machinery.
+    p_banded = TVL1Params(warp_engine="banded", epsilon=0.0)
     fl, clips = tvl1_flow(prev, curr, p_banded, return_clip=True)
     force(fl)  # compile
     t0 = time.perf_counter()
@@ -309,15 +326,24 @@ def bench_tvl1():
     banded_fps = n_pairs / (time.perf_counter() - t0)
     n_clip = int(np.asarray(clips).sum())
 
-    # Baseline = the all-XLA engine (gather warp + while-loop pd): the
+    # Baseline = the all-XLA engine (gather warp + lax-loop pd): the
     # VERDICT r2 #5 bar is vs the *gather-engine* rate, so pin pd_engine
     # too — otherwise the resident chain would speed the baseline up.
-    p_exact = TVL1Params(warp_engine="exact", pd_engine="xla")
-    n_ex = 2
+    p_exact = TVL1Params(warp_engine="exact", pd_engine="xla", epsilon=0.0)
+    n_ex = 4
     force(tvl1_flow(prev[:n_ex], curr[:n_ex], p_exact))  # compile
     t0 = time.perf_counter()
     force(tvl1_flow(prev[:n_ex], curr[:n_ex], p_exact))
     exact_fps = n_ex / (time.perf_counter() - t0)
+
+    # Transparency: the gather engine at its shipped config (epsilon
+    # early exit enabled) — content-dependent, so not the ratio's
+    # denominator, but reported alongside it.
+    p_ship = TVL1Params(warp_engine="exact", pd_engine="xla")
+    force(tvl1_flow(prev[:n_ex], curr[:n_ex], p_ship))  # compile
+    t0 = time.perf_counter()
+    force(tvl1_flow(prev[:n_ex], curr[:n_ex], p_ship))
+    shipped_fps = n_ex / (time.perf_counter() - t0)
 
     print(
         json.dumps(
@@ -327,6 +353,7 @@ def bench_tvl1():
                 "unit": "frames/sec",
                 "vs_baseline": None,
                 "vs_xla_gather": round(banded_fps / exact_fps, 2),
+                "vs_xla_gather_earlyexit": round(banded_fps / shipped_fps, 2),
                 "clipped_candidates": n_clip,
             }
         )

@@ -13,7 +13,7 @@ lengths), which is what XLA needs to tile the hot loops onto the MXU/VPU.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 def _round_half_even(x: float) -> int:
@@ -113,6 +113,63 @@ class FarnebackParams:
     # escalate per pair via the pipeline tiers).
     warp_dual_frac: float = 0.125
     warp_dual_passes: int = 2
+    # Per-level iteration schedule, indexed by pyramid level k (0 =
+    # finest/full resolution); levels past the tuple's end reuse its
+    # last entry.  None = ``iterations`` at every level (the reference
+    # semantics, optical_flow.py:48-56 via cv2's `iterations`).
+    # Rationale: the round-3 stage ledger (scripts/profile_stages.py)
+    # shows coarse levels hold 1/3 of level-0's pixel mass but ~40% of
+    # device time; coarse-level iterations only refine the *initial*
+    # flow handed to finer levels, so trimming them trades a measured
+    # (EPE-gated) accuracy epsilon for throughput.  Production opt-in
+    # like warp_precision; library default keeps the exact schedule.
+    iter_schedule: Optional[Tuple[int, ...]] = None
+    # Banded-warp reach at coarse levels (k >= 1), as
+    # (d_max_y, d_max_x, s_cap); None = same reach as level 0.
+    # A displacement of D pixels at full resolution is D/2^k at level
+    # k, so the coarse candidate window can be much tighter than level
+    # 0's.  Measured (2026-08-18): numerically free ((4, 8, 8) leaves
+    # EPE vs cv2 bit-unchanged on the bench clip) but only ~+1%
+    # throughput — the per-tile fixed cost is NOT the static slot
+    # structure.  Out-of-window pixels are still counted by the clip
+    # detector and recovered by the multi-window passes / escalation
+    # ladder — never silent.
+    warp_coarse_reach: Optional[Tuple[int, int, int]] = None
+    # Forced warp tile width (lanes) at coarse levels (k >= 1); None =
+    # the warp_grid law.  Coarse grids quantize badly: level 1 of 480p
+    # (320 true lanes) pads to 512 under the 256-lane law — tw=384
+    # covers it in ONE tile row (fewer per-tile fixed costs, 25% fewer
+    # padded pixels through poly/warp/solve).  Wider tiles widen the
+    # within-tile displacement span, which is exactly why this is safe
+    # only at coarse levels (spans shrink 2^k) — and the clip counter
+    # still guards it.  Must be a multiple of 128.
+    warp_coarse_tw: Optional[int] = None
+    # Band-DMA pipeline depth (VMEM slots) of the warp and poly
+    # kernels.  2 = classic double buffering (issue one tile ahead);
+    # n_slots-1 tiles are issued ahead in general.  Measured
+    # (2026-08-18): depth 4 changes NOTHING (509 vs 508 pairs/s) — the
+    # ~5 us/tile-step fixed cost is not DMA issue-to-complete latency
+    # either (see scripts/probe_step_floor.py for the decomposition).
+    # Kept as a correct, tested knob for other memory systems.  The
+    # solve kernel stays at 2 slots: its 5-channel (th+16, tw+256)
+    # band at depth 4 is ~5 MB of scratch, up against the 16 MB Mosaic
+    # scoped-vmem stack that a 3.3 MB double-buffered variant already
+    # overflowed once (the unrolled tap slices multiply live
+    # temporaries ~5x the nominal scratch).
+    warp_dma_slots: int = 2
+    # Geometry dead ends, measured 2026-08-18 (so nobody re-tries them):
+    # 64-row warp tiles ran 2.8x SLOWER end to end (183 vs 508 pairs/s
+    # — taller tiles do not amortize the per-tile fixed cost on this
+    # Mosaic stack), and bf16 polynomial-expansion MACs lost the
+    # accuracy contract outright (EPE max 6.3 px vs cv2: the flow
+    # solves live on small coefficient *differences*).  See
+    # scripts/measure_iter_schedule.py for the measurement harness.
+
+    def iters_at(self, k: int) -> int:
+        """Iteration count at pyramid level k (0 = finest)."""
+        if not self.iter_schedule:
+            return self.iterations
+        return self.iter_schedule[min(k, len(self.iter_schedule) - 1)]
 
     def num_levels(self, height: int, width: int, min_size: int = 32) -> int:
         """Number of *extra* pyramid levels actually used.

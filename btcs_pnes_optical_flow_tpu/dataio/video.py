@@ -179,6 +179,10 @@ def open_source(path_or_array, fps: Optional[float] = None) -> VideoSource:
     """
     if isinstance(path_or_array, np.ndarray):
         return ArraySource(path_or_array, fps or 30.0)
+    if hasattr(path_or_array, "__array__") and getattr(path_or_array, "ndim", 0) == 3:
+        # Device-resident clips (e.g. jax.Array) fall back to one host
+        # readback here; the sharded cohort path keeps them on device.
+        return ArraySource(np.asarray(path_or_array), fps or 30.0)
     p = str(path_or_array)
     if p.endswith(".y4m"):
         return Y4MSource(p)

@@ -377,10 +377,11 @@ def farneback_flow(
             flow = jnp.moveaxis(fr, 1, -1) * (1.0 / params.pyr_scale)
 
         um = _select_update_matrices(params)
+        n_it = params.iters_at(k)
         m = um(r0, r1, flow)
-        for it in range(params.iterations):
+        for it in range(n_it):
             flow = uf(m, params.winsize, params.gaussian_win)
-            if it < params.iterations - 1:
+            if it < n_it - 1:
                 m = um(r0, r1, flow)
 
     return flow[0] if squeeze else flow

@@ -95,7 +95,18 @@ def _fused_level_loop(polys_of_level, n: int, h: int, w: int,
     for k in range(klev, -1, -1):
         hk, wk = params.level_size(h, w, k)
         ht, wt, tw_k = warp_grid(hk, wk)
-        r0_cf, r1p, r1_offset = polys_of_level(k, hk, wk, (ht, wt), tw_k)
+        if k >= 1 and params.warp_coarse_tw is not None:
+            twc = params.warp_coarse_tw
+            wtc = -(-wk // twc) * twc
+            if wtc < wt:  # only when it actually shrinks the grid
+                tw_k, wt = twc, wtc
+        if k >= 1 and params.warp_coarse_reach is not None:
+            d_y, d_x, s_cap = params.warp_coarse_reach
+        else:
+            d_y, d_x, s_cap = (
+                params.warp_d_max_y, params.warp_d_max_x, params.warp_s_cap
+            )
+        r0_cf, r1p, r1_offset = polys_of_level(k, hk, wk, (ht, wt), tw_k, d_y, d_x)
 
         if flow is None:
             f0 = flow0 if params.use_initial_flow else None
@@ -110,19 +121,20 @@ def _fused_level_loop(polys_of_level, n: int, h: int, w: int,
 
         n_i = ht // _TH
         n_j = wt // tw_k
-        n_s_full = 2 * params.warp_d_max_x + 2
-        n_s1 = min(params.warp_s_cap, n_s_full) if params.warp_s_cap else n_s_full
+        n_s_full = 2 * d_x + 2
+        n_s1 = min(s_cap, n_s_full) if s_cap else n_s_full
         n_passes = params.warp_dual_passes if params.warp_dual_frac > 0 else 0
-        for _ in range(params.iterations):
+        for _ in range(params.iters_at(k)):
             m, clip, (bases1, smin1, rmdy, rmdx) = update_matrices_banded_cf(
                 r0_cf, flow, r1p, hk, wk,
-                d_max_y=params.warp_d_max_y,
-                d_max_x=params.warp_d_max_x,
+                d_max_y=d_y,
+                d_max_x=d_x,
                 base_max=params.warp_base_max,
-                s_cap=params.warp_s_cap,
+                s_cap=s_cap,
                 precision=params.warp_precision,
                 r1_offset=r1_offset,
                 tw=tw_k,
+                n_slots=params.warp_dma_slots,
                 interpret=interpret,
             )
             if n_passes:
@@ -151,15 +163,15 @@ def _fused_level_loop(polys_of_level, n: int, h: int, w: int,
                     sel = sel.astype(jnp.int32)
                     cur = window_from_residuals(
                         mdy, mdx,
-                        params.warp_d_max_y, params.warp_d_max_x,
+                        d_y, d_x,
                         params.warp_base_max, n_s1,
                     )
                     m, clip_k, rmdy_k, rmdx_k = update_matrices_banded_tiles_cf(
                         sel, m, r0_cf, flow, r1p, hk, wk,
                         cur_window=cur,
                         prev_windows=prev,
-                        d_max_y=params.warp_d_max_y,
-                        d_max_x=params.warp_d_max_x,
+                        d_max_y=d_y,
+                        d_max_x=d_x,
                         base_max=params.warp_base_max,
                         s_cap=n_s1,
                         precision=params.warp_precision,
@@ -198,11 +210,13 @@ def _transposed_params(params: FarnebackParams) -> FarnebackParams:
     """
     import dataclasses
 
+    cr = params.warp_coarse_reach
     return dataclasses.replace(
         params,
         warp_layout="native",
         warp_d_max_y=params.warp_d_max_x,
         warp_d_max_x=params.warp_d_max_y,
+        warp_coarse_reach=(cr[1], cr[0], cr[2]) if cr is not None else None,
     )
 
 
@@ -211,18 +225,19 @@ def _pairs_impl(prev, curr, params, flow0, interpret):
     p_f = prev.astype(jnp.float32)
     c_f = curr.astype(jnp.float32)
 
-    def polys_of_level(k, hk, wk, grid, tw_k):
+    def polys_of_level(k, hk, wk, grid, tw_k, d_y, d_x):
         i0, _, _ = _level_image(p_f, k, params, h, w)
         i1, _, _ = _level_image(c_f, k, params, h, w)
         r0 = poly_exp_fused_cf(
-            i0, params.poly_n, params.poly_sigma, grid=grid, interpret=interpret
+            i0, params.poly_n, params.poly_sigma, grid=grid,
+            n_slots=params.warp_dma_slots, interpret=interpret
         )
         r1 = poly_exp_fused_cf(
-            i1, params.poly_n, params.poly_sigma, grid=grid, interpret=interpret
+            i1, params.poly_n, params.poly_sigma, grid=grid,
+            n_slots=params.warp_dma_slots, interpret=interpret
         )
         r1p = pad_for_band(
-            r1, hk, wk, params.warp_d_max_y, params.warp_d_max_x,
-            params.warp_base_max, tw=tw_k,
+            r1, hk, wk, d_y, d_x, params.warp_base_max, tw=tw_k,
         )
         return r0, r1p, 0
 
@@ -234,16 +249,16 @@ def _seq_impl(frames, params, flow0, interpret):
     n = n1 - 1
     f_all = frames.astype(jnp.float32)
 
-    def polys_of_level(k, hk, wk, grid, tw_k):
+    def polys_of_level(k, hk, wk, grid, tw_k, d_y, d_x):
         lv, _, _ = _level_image(f_all, k, params, h, w)
         p = poly_exp_fused_cf(
-            lv, params.poly_n, params.poly_sigma, grid=grid, interpret=interpret
+            lv, params.poly_n, params.poly_sigma, grid=grid,
+            n_slots=params.warp_dma_slots, interpret=interpret
         )
         # Pair b reads r0 from stacked frame b (block specs only touch
         # the first n frames) and its warp band from frame b+1.
         r1p = pad_for_band(
-            p, hk, wk, params.warp_d_max_y, params.warp_d_max_x,
-            params.warp_base_max, tw=tw_k,
+            p, hk, wk, d_y, d_x, params.warp_base_max, tw=tw_k,
         )
         return p, r1p, 1
 

@@ -168,6 +168,7 @@ def _make_kernel(
     s_block: int = 4,
     th: int = _TH,
     tw: int = _TW,
+    n_slots: int = 2,
 ):
     """Build the fused warp+update kernel for static shapes.
 
@@ -238,17 +239,26 @@ def _make_kernel(
                 sem2.at[slot],
             )
 
-        # Double-buffered band pipeline: tile idx computes from slot
-        # idx%2 while tile idx+1's band streams into the other slot.
-        cur = idx % 2
+        # Multi-buffered band pipeline: tile idx computes from slot
+        # idx % n_slots while the next (n_slots - 1) tiles' bands
+        # stream into the other slots.  Depth > 2 exists because the
+        # per-tile cost is DMA-latency-bound, not transfer-bound: one
+        # step of lookahead (~1 us of compute on smooth tiles) cannot
+        # hide the several-us issue-to-complete latency of an HBM read.
+        cur = idx % n_slots
+        ahead = n_slots - 1
 
         @pl.when(idx == 0)
         def _():
-            band_dma(idx, cur).start()
+            for d in range(ahead):
 
-        @pl.when(idx + 1 < total)
+                @pl.when(d < total)
+                def _(d=d):
+                    band_dma(d, d % n_slots).start()
+
+        @pl.when(idx + ahead < total)
         def _():
-            band_dma(idx + 1, (idx + 1) % 2).start()
+            band_dma(idx + ahead, (idx + ahead) % n_slots).start()
 
         band_dma(idx, cur).wait()
 
@@ -415,6 +425,7 @@ def update_matrices_banded_cf(
     s_block: int = 4,
     th: int = _TH,
     tw: int = _TW,
+    n_slots: int = 2,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Channel-first banded warp + normal-equation update (Pallas).
@@ -458,7 +469,7 @@ def update_matrices_banded_cf(
     kernel, band_h, band_w = _make_kernel(
         h, w, hp, wp, pad_y, pad_x, d_max_y, d_max_x,
         s_cap=s_cap, precision=precision, r1_offset=r1_offset, s_block=s_block,
-        th=th, tw=tw,
+        th=th, tw=tw, n_slots=n_slots,
     )
     n_i = ht // th
     n_j = wt // tw
@@ -518,9 +529,9 @@ def update_matrices_banded_cf(
                 smem_tile_spec(),
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, 5, band_h, band_w), jnp.float32),
+                pltpu.VMEM((n_slots, 5, band_h, band_w), jnp.float32),
                 pltpu.VMEM((5, th, tw), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((n_slots,)),
             ],
         ),
         interpret=interpret,
@@ -1211,7 +1222,8 @@ def warp_sample_banded_cf(
 # ---------------------------------------------------------------------------
 
 
-def _poly_kernel_factory(g, xg, xxg, igs, n: int, th: int, tw: int):
+def _poly_kernel_factory(g, xg, xxg, igs, n: int, th: int, tw: int,
+                         n_slots: int = 2):
     """Build the fused poly-expansion kernel (static taps/Gram factors).
 
     One band DMA per tile (static, aligned offsets thanks to host
@@ -1247,15 +1259,22 @@ def _poly_kernel_factory(g, xg, xxg, igs, n: int, th: int, tw: int):
                 sem2.at[slot],
             )
 
-        cur = idx % 2
+        # Multi-buffered pipeline (see _make_kernel: depth > 2 hides
+        # DMA issue-to-complete latency, not just transfer time).
+        cur = idx % n_slots
+        ahead = n_slots - 1
 
         @pl.when(idx == 0)
         def _():
-            band_dma(idx, cur).start()
+            for d in range(ahead):
 
-        @pl.when(idx + 1 < total)
+                @pl.when(d < total)
+                def _(d=d):
+                    band_dma(d, d % n_slots).start()
+
+        @pl.when(idx + ahead < total)
         def _():
-            band_dma(idx + 1, (idx + 1) % 2).start()
+            band_dma(idx + ahead, (idx + ahead) % n_slots).start()
 
         band_dma(idx, cur).wait()
         band = band2[cur]
@@ -1295,6 +1314,7 @@ def _poly_kernel_factory(g, xg, xxg, igs, n: int, th: int, tw: int):
 
 def poly_exp_fused_cf(
     img: jnp.ndarray, n: int = 5, sigma: float = 1.2, grid=None,
+    n_slots: int = 2,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Channel-first fused polynomial expansion: (B, H, W) → (B, 5, ht, wt).
@@ -1332,7 +1352,9 @@ def poly_exp_fused_cf(
         ((0, 0), (8, 8 + ht - h), (128, 128 + wt - w)),
         mode="edge",
     )
-    kernel, band_h, band_w = _poly_kernel_factory(g, xg, xxg, igs, n, th, tw)
+    kernel, band_h, band_w = _poly_kernel_factory(
+        g, xg, xxg, igs, n, th, tw, n_slots=n_slots
+    )
     n_i = ht // th
     n_j = wt // tw
     return pl.pallas_call(
@@ -1347,8 +1369,8 @@ def poly_exp_fused_cf(
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, band_h, band_w), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((n_slots, band_h, band_w), jnp.float32),
+                pltpu.SemaphoreType.DMA((n_slots,)),
             ],
         ),
         interpret=interpret,
@@ -1373,7 +1395,8 @@ def poly_exp_fused(
 # ---------------------------------------------------------------------------
 
 
-def _flow_kernel_factory(weights, winsize: int, th: int, tw: int):
+def _flow_kernel_factory(weights, winsize: int, th: int, tw: int,
+                         n_slots: int = 2):
     """Box or Gaussian window sum over the 5 M planes + per-pixel solve."""
     wl = [float(v) for v in weights]
     half = winsize // 2
@@ -1400,15 +1423,21 @@ def _flow_kernel_factory(weights, winsize: int, th: int, tw: int):
                 sem2.at[slot],
             )
 
-        cur = idx % 2
+        # Multi-buffered pipeline (see _make_kernel).
+        cur = idx % n_slots
+        ahead = n_slots - 1
 
         @pl.when(idx == 0)
         def _():
-            band_dma(idx, cur).start()
+            for d in range(ahead):
 
-        @pl.when(idx + 1 < total)
+                @pl.when(d < total)
+                def _(d=d):
+                    band_dma(d, d % n_slots).start()
+
+        @pl.when(idx + ahead < total)
         def _():
-            band_dma(idx + 1, (idx + 1) % 2).start()
+            band_dma(idx + ahead, (idx + ahead) % n_slots).start()
 
         band_dma(idx, cur).wait()
         band = band2[cur]
@@ -1436,6 +1465,7 @@ def _flow_kernel_factory(weights, winsize: int, th: int, tw: int):
 
 def update_flow_fused_cf(
     mp: jnp.ndarray, h: int, w: int, winsize: int = 15, gaussian_win: bool = False,
+    n_slots: int = 2,
     interpret: bool = False,
     # tile sizes are derived from mp's own grid via plane_tiles
 ) -> jnp.ndarray:
@@ -1466,7 +1496,9 @@ def update_flow_fused_cf(
     if ht % 8 or wt % 128 or ht < h or wt < w:
         raise ValueError(f"mp spatial dims {mp.shape[-2:]} must be (ht+16, wt+256)")
     th, tw = plane_tiles(ht, wt, channels=5)
-    kernel, band_h, band_w = _flow_kernel_factory(weights, winsize, th, tw)
+    kernel, band_h, band_w = _flow_kernel_factory(
+        weights, winsize, th, tw, n_slots=n_slots
+    )
     n_i = ht // th
     n_j = wt // tw
     return pl.pallas_call(
@@ -1481,8 +1513,8 @@ def update_flow_fused_cf(
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, 5, band_h, band_w), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((n_slots, 5, band_h, band_w), jnp.float32),
+                pltpu.SemaphoreType.DMA((n_slots,)),
             ],
         ),
         interpret=interpret,

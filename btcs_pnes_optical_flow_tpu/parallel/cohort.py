@@ -122,7 +122,14 @@ def cohort_flow_sharded(items, flows, config, chunk_pairs: int, mesh: Mesh):
     n = len(items)
     done = [False] * n
     vids = [it.video for it in items]
-    if not all(isinstance(v, np.ndarray) and v.ndim == 3 for v in vids):
+    # Device-resident clips (jax.Array) are first-class cohort inputs:
+    # the chunk program then slices frames on device and the host→device
+    # staging cost is paid once, wherever the caller chose to pay it
+    # (e.g. overlapped with upstream decode) — not once per chunk here.
+    on_device = all(isinstance(v, jax.Array) and v.ndim == 3 for v in vids)
+    if not on_device and not all(
+        isinstance(v, np.ndarray) and v.ndim == 3 for v in vids
+    ):
         return done
     if len({v.shape for v in vids}) != 1:
         return done
@@ -158,7 +165,14 @@ def cohort_flow_sharded(items, flows, config, chunk_pairs: int, mesh: Mesh):
     def vpad(x):
         return np.concatenate([x, np.repeat(x[-1:], pad_v, axis=0)]) if pad_v else x
 
-    frames_all = vpad(np.stack(vids)).astype(np.uint8)  # ArraySource semantics
+    if on_device:
+        frames_all = jnp.stack(vids).astype(jnp.uint8)
+        if pad_v:
+            frames_all = jnp.concatenate(
+                [frames_all, jnp.repeat(frames_all[-1:], pad_v, axis=0)]
+            )
+    else:
+        frames_all = vpad(np.stack(vids)).astype(np.uint8)  # ArraySource semantics
     masks_dev = jnp.asarray(vpad(masks_np))
     ex_all = vpad(np.stack(ex_p))
     ey_all = vpad(np.stack(ey_p))
@@ -187,12 +201,13 @@ def cohort_flow_sharded(items, flows, config, chunk_pairs: int, mesh: Mesh):
             vy[i, s : s + b_eff] = cvy
             mg[i, s : s + b_eff] = cmg
 
+    xp = jnp if on_device else np
     for s in range(0, n_pairs_total, chunk_pairs):
         b_eff = min(chunk_pairs, n_pairs_total - s)
         fr = frames_all[:, s : s + chunk_pairs + 1]
         if b_eff < chunk_pairs:  # static tail: repeat the last frame
-            reps = np.repeat(fr[:, -1:], chunk_pairs - fr.shape[1] + 1, axis=1)
-            fr = np.concatenate([fr, reps], axis=1)
+            reps = xp.repeat(fr[:, -1:], chunk_pairs - fr.shape[1] + 1, axis=1)
+            fr = xp.concatenate([fr, reps], axis=1)
         ex_c = np.zeros((n + pad_v, chunk_pairs, 2), np.float32)
         ey_c = np.zeros_like(ex_c)
         ex_c[:, :b_eff] = ex_all[:, s : s + b_eff]

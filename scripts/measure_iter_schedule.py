@@ -46,16 +46,18 @@ def main():
         return np.asarray(jax.tree.leaves(x)[0].ravel()[0:1])
 
     cases = [
-        # Round-2 pass (kept for the record; measured 2026-08-18):
-        #   sched=None 507.5 | 3321 497.3 | 3211 564.9 (EPE 3.1 — fails
-        #   contract) | reach(4,8,8) 511.8 | reach+s3321 518.9 |
-        #   reach+tw384 524.6 (9806 clips — s_cap 8 too tight at 384).
-        ("th64", dict(warp_th=64)),
-        ("th96", dict(warp_th=96)),
-        ("th64+s3321", dict(warp_th=64, iter_schedule=(3, 3, 2, 1))),
-        ("tw384 full-span", dict(warp_coarse_tw=384)),
-        ("th64+tw384+s3321", dict(warp_th=64, warp_coarse_tw=384,
+        # Pass-1 results (2026-08-18): sched=None 507.5 | 3321 497.3 |
+        #   3211 564.9 (EPE 3.1 — fails contract) | reach(4,8,8) 511.8
+        #   | reach+s3321 518.9 | reach+tw384 524.6 (9806 clips —
+        #   s_cap 8 too tight at 384 lanes).
+        # Pass-2 verdicts: warp_th=64 2.8x SLOWER (183); poly bf16 EPE
+        #   6.3 px (both knobs removed — recorded in config.py).
+        ("dma slots 4", dict(warp_dma_slots=4)),
+        ("dma slots 8", dict(warp_dma_slots=8)),
+        ("dma4+reach+s3321", dict(warp_dma_slots=4,
+                                  warp_coarse_reach=(4, 8, 8),
                                   iter_schedule=(3, 3, 2, 1))),
+        ("tw384 full-span", dict(warp_coarse_tw=384)),
     ]
     for name, kw in cases:
         p = dataclasses.replace(FarnebackParams(), warp_precision="bf16", **kw)

@@ -212,3 +212,33 @@ def test_dual_window_covers_bimodal_flow(rng):
     m_ref = np.asarray(update_matrices(jnp.asarray(r0), jnp.asarray(r1), jnp.asarray(flow)))
     got = np.moveaxis(np.asarray(m2)[:, :, :H, :W], 1, -1)
     np.testing.assert_allclose(got, m_ref, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_iter_schedule_and_coarse_reach_match_exact(rng):
+    """Round-3 production knobs: a per-level iteration schedule and a
+    tightened coarse-level candidate window must stay exact vs the XLA
+    engine running the *same* schedule (the banded approximation is
+    iteration-for-iteration equivalent whenever no candidate clips)."""
+    frames = _textured_frames(rng, 3, 64, 96)
+    p, c = jnp.asarray(frames[:-1]), jnp.asarray(frames[1:])
+    params = FarnebackParams(
+        iter_schedule=(3, 1), warp_coarse_reach=(4, 8, 8)
+    )
+    ref = np.asarray(
+        farneback_flow(
+            p, c,
+            FarnebackParams(warp_engine="exact", iter_schedule=(3, 1)),
+        )
+    )
+    out, clips = farneback_flow_fused(
+        p, c, params, return_clip=True, interpret=True
+    )
+    assert int(np.asarray(clips).sum()) == 0
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+    # The schedule really changes the result vs the reference schedule
+    # (guards against iters_at being ignored by either engine).
+    ref_full = np.asarray(
+        farneback_flow(p, c, FarnebackParams(warp_engine="exact"))
+    )
+    assert np.abs(ref_full - ref).max() > 1e-6

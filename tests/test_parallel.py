@@ -111,3 +111,48 @@ def test_run_cohort_mesh_matches_sequential(mesh8, rng):
             np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-9, equal_nan=True)
         else:
             np.testing.assert_array_equal(b, a)
+
+
+def test_run_cohort_device_resident_clips(mesh8, rng):
+    """Device-resident (jax.Array) cohort clips take the sharded path
+    and produce the same rows as host ndarrays (round-3: the cohort
+    bench was staging-bound — 158 MB through the dev tunnel per run —
+    so clips staged once upstream must be first-class inputs)."""
+    from btcs_pnes_optical_flow_tpu.config import PipelineConfig
+    from btcs_pnes_optical_flow_tpu.dataio import contracts
+    from btcs_pnes_optical_flow_tpu.parallel.runner import CohortItem, run_cohort
+
+    n_videos, n_frames, h, w = 4, 17, 48, 64
+    roi = np.array([[6.0, 6.0], [58.0, 8.0], [56.0, 42.0], [8.0, 40.0]])
+    yy, xx = np.mgrid[0:h, 0:w]
+
+    def build(video_of):
+        items = []
+        for v in range(n_videos):
+            r = np.random.default_rng(200 + v)
+            t = np.arange(n_frames) / 30.0
+            cx = w * 0.5 + 8 * np.sin(2 * np.pi * 2.5 * t + v)
+            clip = np.empty((n_frames, h, w), np.uint8)
+            tex = r.normal(0, 3, (h, w))
+            for i in range(n_frames):
+                blob = 150 * np.exp(-(((xx - cx[i]) / 6.0) ** 2 + ((yy - h / 2) / 6.0) ** 2))
+                clip[i] = np.clip(70 + tex + blob, 0, 255).astype(np.uint8)
+            theta = 0.3
+            ex = np.tile(np.array([np.cos(theta), -np.sin(theta)]), (n_frames, 1))
+            ey = np.tile(np.array([np.sin(theta), np.cos(theta)]), (n_frames, 1))
+            skel = contracts.Skeleton(time_all=t, ex=ex, ey=ey, fps=30.0)
+            items.append(CohortItem(
+                name=f"v{v}", video=video_of(clip), skeleton=skel,
+                roi_polygons=[roi],
+            ))
+        return items
+
+    cfg = PipelineConfig()
+    df_host = run_cohort(build(lambda c: c), cfg, chunk_pairs=8, mesh=mesh8)
+    df_dev = run_cohort(build(jnp.asarray), cfg, chunk_pairs=8, mesh=mesh8)
+    for col in df_host.columns:
+        a, b = df_host[col].to_numpy(), df_dev[col].to_numpy()
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-9, equal_nan=True)
+        else:
+            np.testing.assert_array_equal(b, a)
