@@ -57,19 +57,26 @@ def timed(name, fn, *args, steps):
 
 
 def main():
-    rng = np.random.default_rng(0)
     ht, wt, tw = warp_grid(H, W)
     n_i, n_j = ht // 32, wt // tw
     steps = B * n_i * n_j
     print(f"grid {ht}x{wt} tw={tw}: {n_i}x{n_j} tiles, {steps} steps", flush=True)
 
-    r0 = jnp.asarray(rng.normal(0, 1, (B + 1, 5, ht, wt)).astype(np.float32))
-    yy, xx = np.mgrid[0:ht, 0:wt]
-    fx = 3.0 * np.sin(xx / 97.0) * np.cos(yy / 61.0)
-    fy = 1.8 * np.cos(xx / 83.0) * np.sin(yy / 71.0)
-    flow_s = jnp.asarray(
-        np.broadcast_to(np.stack([fx, fy]).astype(np.float32), (B, 2, ht, wt)).copy()
-    )
+    # Build everything ON DEVICE: staging GBs through the ~26 MB/s axon
+    # tunnel takes minutes and dominated this probe's first run.
+    @jax.jit
+    def make():
+        r0 = jax.random.normal(jax.random.key(0), (B + 1, 5, ht, wt), jnp.float32)
+        yy = jnp.arange(ht, dtype=jnp.float32)[:, None]
+        xx = jnp.arange(wt, dtype=jnp.float32)[None, :]
+        fx = 3.0 * jnp.sin(xx / 97.0) * jnp.cos(yy / 61.0)
+        fy = 1.8 * jnp.cos(xx / 83.0) * jnp.sin(yy / 71.0)
+        flow_s = jnp.broadcast_to(
+            jnp.stack([fx, fy])[None], (B, 2, ht, wt)).astype(jnp.float32) + 0.0
+        return r0, flow_s
+
+    r0, flow_s = make()
+    force((r0, flow_s))
     flow_0 = jnp.zeros((B, 2, ht, wt), jnp.float32)
 
     def warp(d_y, d_x, cap, prec):
@@ -92,7 +99,9 @@ def main():
     timed("warp s_cap=1 smooth", warp(8, 16, 1, "bf16"), flow_s, steps=steps)
     timed("warp d_y=1,s_cap=1 smooth", warp(1, 16, 1, "bf16"), flow_s, steps=steps)
 
-    img = jnp.asarray(rng.normal(0, 40, (B + 1, H, W)).astype(np.float32))
+    img = jax.jit(lambda: 40.0 * jax.random.normal(
+        jax.random.key(1), (B + 1, H, W), jnp.float32))()
+    force(img)
 
     @jax.jit
     def poly(x):
@@ -101,7 +110,9 @@ def main():
     # poly tiles are (48, 768) at this grid: (B+1) * 10 * 1 steps
     timed("poly", poly, img, steps=(B + 1) * (ht // 48))
 
-    m5 = jnp.asarray(rng.normal(0, 1, (B, 5, ht, wt)).astype(np.float32))
+    m5 = jax.jit(lambda: jax.random.normal(
+        jax.random.key(2), (B, 5, ht, wt), jnp.float32))()
+    force(m5)
 
     @jax.jit
     def solve(m):

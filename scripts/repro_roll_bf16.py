@@ -1,0 +1,107 @@
+"""Probe: do the banded warp's two Mosaic primitives survive bf16?
+
+The round-3 bf16-band plan stores the warped-from coefficients in HBM
+as bfloat16, halving the warp kernel's per-tile band DMA bytes and its
+full-band lane roll (docs/PERFORMANCE.md round-3 ledger: the L0 sweeps
+are band-traffic/fixed-cost-bound, not MAC-bound).  That is only legal
+if, in bf16:
+
+1. `pltpu.roll` dynamic 2D lane rolls are exact at power-of-two lane
+   widths (they already miscompile at non-power-of-two widths in fp32 —
+   scripts/repro_roll_w384.py);
+2. per-tile async copies from a bf16 HBM array with *dynamic* row
+   starts work under bf16's (16, 128) VMEM tiling — i.e. what the
+   alignment granule for dynamic sublane starts is (8 like fp32, or 16).
+
+Run ALONE on the real TPU:  python -m scripts.repro_roll_bf16
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+H, W = 400, 512
+
+
+def _roll_kernel(x_ref, s_ref, o_ref):
+    o_ref[...] = pltpu.roll(x_ref[...], shift=-s_ref[0], axis=1)
+
+
+def check_roll(dtype, w):
+    x = np.arange(H * w, dtype=np.float32).reshape(H, w) % 251
+    xd = jnp.asarray(x, dtype)
+    bad = []
+    for shift in (0, 1, 7, 63, 128, 300, w - 1):
+        out = pl.pallas_call(
+            _roll_kernel,
+            out_shape=jax.ShapeDtypeStruct((H, w), dtype),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+        )(xd, jnp.asarray([shift], jnp.int32))
+        got = np.asarray(out.astype(jnp.float32))
+        ref = np.roll(np.asarray(xd.astype(jnp.float32)), -shift, axis=1)
+        if not np.array_equal(got, ref):
+            nbad = int((got != ref).sum())
+            bad.append((shift, nbad))
+    tag = f"roll {jnp.dtype(dtype).name} w={w}"
+    print(f"{tag:32s} {'OK' if not bad else f'BAD {bad}'}", flush=True)
+    return not bad
+
+
+def _dma_kernel(r0_ref, x_ref, o_ref, band, sem, *, align):
+    row0 = pl.multiple_of((r0_ref[0] // align) * align, align)
+    cp = pltpu.make_async_copy(
+        x_ref.at[pl.ds(row0, 64), pl.ds(0, W)], band, sem
+    )
+    cp.start()
+    cp.wait()
+    o_ref[...] = band[...]
+
+
+def check_dma(dtype, align, row_start):
+    x = (np.arange((H + 64) * W, dtype=np.float32).reshape(H + 64, W) % 509)
+    xd = jnp.asarray(x, dtype)
+    out = pl.pallas_call(
+        functools.partial(_dma_kernel, align=align),
+        out_shape=jax.ShapeDtypeStruct((64, W), dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((64, W), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(jnp.asarray([row_start], jnp.int32), xd)
+    a = (row_start // align) * align
+    ref = np.asarray(jnp.asarray(xd[a : a + 64, :W], np.float32))
+    got = np.asarray(out, np.float32)
+    ok = np.array_equal(got, ref)
+    name = np.dtype(np.float32 if dtype == jnp.float32 else np.dtype("bfloat16") if hasattr(np, "bfloat16") else "V2").name
+    print(f"dma {dtype.__name__ if hasattr(dtype,'__name__') else dtype} align={align} start={row_start}: "
+          f"{'OK' if ok else 'BAD'}", flush=True)
+    return ok
+
+
+def main():
+    print(f"backend: {jax.devices()[0].platform}", flush=True)
+    check_roll(jnp.float32, 512)
+    check_roll(jnp.bfloat16, 512)
+    check_roll(jnp.bfloat16, 1024)
+    for start in (0, 8, 16, 24, 40, 100):
+        check_dma(jnp.bfloat16, 16, start)
+    # Is 8-row alignment enough for bf16 DMA (i.e. is the granule the
+    # fp32 sublane tile or the bf16 packed tile)?
+    for start in (8, 24):
+        check_dma(jnp.bfloat16, 8, start)
+
+
+if __name__ == "__main__":
+    main()
