@@ -78,6 +78,12 @@ def bench_level(h, w, d_y, d_x, cap, tws, smooth_amp):
 
         name = f"{h}x{w} tw={tw} ({n_i}x{n_j}) reach=({d_y},{d_x},{cap})"
         timed(name + " smooth", f, r0, r1p, flow_s, steps=steps)
+        # Correctness screen (ADVICE r3): wider tiles widen the
+        # within-tile displacement span — a geometry that times well
+        # but clips is NOT a candidate (round 3 measured 9.8k clips at
+        # coarse tw=384 under s_cap=8).
+        n_clip = int(np.asarray(f(r0, r1p, flow_s)[1]))
+        print(f"{'':46s} clips={n_clip}", flush=True)
         timed(name + " zero", f, r0, r1p,
               jnp.zeros((B, 2, ht, wt), jnp.float32), steps=steps)
         del r0, r1p, flow_s

@@ -55,21 +55,35 @@ def check_roll(dtype, w):
     return not bad
 
 
-def _dma_kernel(r0_ref, x_ref, o_ref, band, sem, *, align):
+def _dma_kernel(r0_ref, x_ref, o_ref, band, sem, *, align, n_lead):
     row0 = pl.multiple_of((r0_ref[0] // align) * align, align)
-    cp = pltpu.make_async_copy(
-        x_ref.at[pl.ds(row0, 64), pl.ds(0, W)], band, sem
+    src = x_ref.at[r0_ref[1], pl.ds(row0, 64), pl.ds(0, W)] if n_lead else (
+        x_ref.at[pl.ds(row0, 64), pl.ds(0, W)]
     )
+    cp = pltpu.make_async_copy(src, band, sem)
     cp.start()
     cp.wait()
     o_ref[...] = band[...]
 
 
-def check_dma(dtype, align, row_start):
-    x = (np.arange((H + 64) * W, dtype=np.float32).reshape(H + 64, W) % 509)
+def check_dma(dtype, align, row_start, n_lead=0):
+    """DMA-with-dynamic-row-start correctness at a given alignment.
+
+    n_lead > 0 adds a leading batch dim so the pl.ANY source exceeds
+    VMEM and Mosaic MUST place it in HBM (the production bf16 band
+    source, r1p, is hundreds of MB and always lives there; a small
+    source may be placed in VMEM where dynamic-start slicing rules
+    differ — an 'align OK' verdict from a VMEM placement would not
+    transfer).  n_lead = 0 keeps the small (~0.5 MB) variant so both
+    placements stay probed.
+    """
+    shape = (n_lead, H + 64, W) if n_lead else (H + 64, W)
+    x = (np.arange(np.prod(shape), dtype=np.float32).reshape(shape) % 509)
     xd = jnp.asarray(x, dtype)
+    nbytes = xd.size * xd.dtype.itemsize
+    batch = max(n_lead - 1, 0)  # slice the last slab: farthest from base
     out = pl.pallas_call(
-        functools.partial(_dma_kernel, align=align),
+        functools.partial(_dma_kernel, align=align, n_lead=n_lead),
         out_shape=jax.ShapeDtypeStruct((64, W), dtype),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -79,14 +93,15 @@ def check_dma(dtype, align, row_start):
             pltpu.VMEM((64, W), dtype),
             pltpu.SemaphoreType.DMA,
         ],
-    )(jnp.asarray([row_start], jnp.int32), xd)
+    )(jnp.asarray([row_start, batch], jnp.int32), xd)
     a = (row_start // align) * align
-    ref = np.asarray(jnp.asarray(xd[a : a + 64, :W], np.float32))
+    src2d = xd[batch] if n_lead else xd
+    ref = np.asarray(jnp.asarray(src2d[a : a + 64, :W], np.float32))
     got = np.asarray(out, np.float32)
     ok = np.array_equal(got, ref)
-    name = np.dtype(np.float32 if dtype == jnp.float32 else np.dtype("bfloat16") if hasattr(np, "bfloat16") else "V2").name
-    print(f"dma {dtype.__name__ if hasattr(dtype,'__name__') else dtype} align={align} start={row_start}: "
-          f"{'OK' if ok else 'BAD'}", flush=True)
+    place = "HBM-forced" if nbytes > (16 << 20) else "VMEM-or-HBM"
+    print(f"dma {jnp.dtype(dtype).name} align={align} start={row_start} "
+          f"src={nbytes >> 20}MB[{place}]: {'OK' if ok else 'BAD'}", flush=True)
     return ok
 
 
@@ -95,12 +110,16 @@ def main():
     check_roll(jnp.float32, 512)
     check_roll(jnp.bfloat16, 512)
     check_roll(jnp.bfloat16, 1024)
-    for start in (0, 8, 16, 24, 40, 100):
-        check_dma(jnp.bfloat16, 16, start)
-    # Is 8-row alignment enough for bf16 DMA (i.e. is the granule the
-    # fp32 sublane tile or the bf16 packed tile)?
-    for start in (8, 24):
-        check_dma(jnp.bfloat16, 8, start)
+    # Both placements (ADVICE r3): small source (Mosaic may keep the
+    # pl.ANY input in VMEM) and a >16 MB source (must be HBM, matching
+    # the production r1p band source).
+    for n_lead in (0, 64):
+        for start in (0, 8, 16, 24, 40, 100):
+            check_dma(jnp.bfloat16, 16, start, n_lead=n_lead)
+        # Is 8-row alignment enough for bf16 DMA (i.e. is the granule
+        # the fp32 sublane tile or the bf16 packed tile)?
+        for start in (8, 24):
+            check_dma(jnp.bfloat16, 8, start, n_lead=n_lead)
 
 
 if __name__ == "__main__":
