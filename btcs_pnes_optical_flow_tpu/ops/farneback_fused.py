@@ -220,6 +220,21 @@ def _transposed_params(params: FarnebackParams) -> FarnebackParams:
     )
 
 
+def _band_dtype(params: FarnebackParams):
+    """Band storage dtype — always None (keep f32).
+
+    bf16 band storage (half the per-tile DMA bytes; the kernels upcast
+    after the copy and re-round at the MAC inputs, so sampled values
+    are bit-identical to f32 bands) MEASURED SLOWER on v5e:
+    51.68 vs 49.51 ms per L0 sweep (scripts/probe_tps_ab.py) — the
+    multi-slot pipeline already hides the band DMA entirely, so halving
+    its bytes buys nothing and the in-kernel upcast adds VPU work.  The
+    capability stays (pad_for_band(dtype=...) + kernels handle bf16
+    bands, EPE-gated on TPU) for geometries where DMA is exposed."""
+    del params
+    return None
+
+
 def _pairs_impl(prev, curr, params, flow0, interpret):
     n, h, w = prev.shape
     p_f = prev.astype(jnp.float32)
@@ -238,6 +253,7 @@ def _pairs_impl(prev, curr, params, flow0, interpret):
         )
         r1p = pad_for_band(
             r1, hk, wk, d_y, d_x, params.warp_base_max, tw=tw_k,
+            dtype=_band_dtype(params),
         )
         return r0, r1p, 0
 
@@ -259,6 +275,7 @@ def _seq_impl(frames, params, flow0, interpret):
         # the first n frames) and its warp band from frame b+1.
         r1p = pad_for_band(
             p, hk, wk, d_y, d_x, params.warp_base_max, tw=tw_k,
+            dtype=_band_dtype(params),
         )
         return p, r1p, 1
 

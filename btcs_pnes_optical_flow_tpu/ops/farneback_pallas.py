@@ -58,7 +58,8 @@ def _border_scale_vec(pos, size):
     return s
 
 
-def _band_dims(d_max_y: int, d_max_x: int, th: int = _TH, tw: int = _TW):
+def _band_dims(d_max_y: int, d_max_x: int, th: int = _TH, tw: int = _TW,
+               band_dtype=jnp.float32):
     """Aligned band extents for the warp kernel's per-tile DMA.
 
     The reachable window is asymmetric by design: tiles are short (32
@@ -72,8 +73,16 @@ def _band_dims(d_max_y: int, d_max_x: int, th: int = _TH, tw: int = _TW):
     widths (measured on v5e: 256/512 exact, 384/640 wrong for every
     nonzero shift — scripts/repro_roll_w384.py), and the kernel lane-
     rolls the full band.
+
+    band_dtype: bf16 bands (half the DMA bytes; scripts/repro_roll_bf16
+    measured dynamic-start bf16 DMA exact from HBM at 8-row-aligned
+    starts) round band_h to the (16, 128) packed-tile granule so the
+    DMA slice shape stays tiling-aligned.  Rolls still run in f32 —
+    Mosaic rejects tpu.dynamic_rotate on non-32-bit data — so the
+    kernel upcasts after the copy.
     """
-    band_h = -(-(th + 2 * d_max_y + 2 + 7) // 8) * 8
+    granule_h = 16 if jnp.dtype(band_dtype).itemsize == 2 else 8
+    band_h = -(-(th + 2 * d_max_y + 2 + 7) // granule_h) * granule_h
     band_w = -(-(tw + 2 * d_max_x + 2 + 127) // 128) * 128
     while band_w & (band_w - 1):
         band_w += 128
@@ -131,6 +140,7 @@ def pad_for_band(
     base_max: int = 56,
     th: int = _TH,
     tw: int = _TW,
+    dtype=None,
 ) -> jnp.ndarray:
     """Pad channel-first coefficients for the banded warp's DMA reads.
 
@@ -139,11 +149,19 @@ def pad_for_band(
     negative base displacements stay in bounds) and enough trailing
     rows/cols that every aligned band DMA stays in bounds.  Built once
     per pyramid level and reused across all warp iterations.
+
+    dtype: band storage dtype (default: keep r1_cf's).  bf16 halves
+    both this pad's HBM write traffic and every warp iteration's band
+    DMA bytes; the warp kernels upcast after the copy, so the sampled
+    values equal the f32-band bf16-MAC path bit-for-bit (rounding
+    happens at the same place either way).
     """
+    if dtype is not None and r1_cf.dtype != dtype:
+        r1_cf = r1_cf.astype(dtype)
     _, _, h0, w0 = r1_cf.shape
     pad_y = base_max + d_max_y + 2
     pad_x = base_max + d_max_x + 2
-    band_h, band_w = _band_dims(d_max_y, d_max_x, th, tw)
+    band_h, band_w = _band_dims(d_max_y, d_max_x, th, tw, band_dtype=r1_cf.dtype)
     ht = -(-h // th) * th
     wt = -(-w // tw) * tw
     pad_bottom = max(0, ht - th + base_max - d_max_y + band_h + 2 - h0)
@@ -151,6 +169,65 @@ def pad_for_band(
     return jnp.pad(
         r1_cf, ((0, 0), (0, 0), (pad_y, pad_bottom), (pad_x, pad_right)), mode="edge"
     )
+
+
+def warp_tiles_per_step(
+    n_i: int,
+    n_j: int,
+    band_h: int,
+    band_w: int,
+    th: int,
+    tw: int,
+    n_slots: int,
+    band_bytes: int = 4,
+    total_budget: int = 10 << 20,
+    tps_cap: int = 1,
+) -> Tuple[int, int]:
+    """Sub-tiles per warp grid step — MEASURED DEAD END, capped at (1,1).
+
+    probe_floor4 (round 4) showed ~1.2 us of pure Mosaic grid/pipeline
+    machinery per step, motivating a step that processes a ``tps_i x
+    tps_j`` block of adjacent (th, tw) tiles sequentially (each
+    sub-tile keeps its OWN base/band/window, so numerics match (1,1)
+    up to FMA-contraction roundoff).  The hardware said no
+    (scripts/probe_tps_ab.py, v5e, transposed L0 bench geometry):
+
+        tps=(1,1) bf16 MAC   4.83 us/tile   (the shipped config)
+        tps=(2,1)           21.96 us/tile   (4.5x SLOWER)
+        tps=(2,2)           22.28 us/tile
+        tps=(5,1)           22.21 us/tile
+
+    Every merge factor hits the same ~4.5x per-tile cliff regardless of
+    VMEM footprint ((2,1) uses ~4 MB — far under budget), i.e. the same
+    wall as 64-row and 640-lane tiles (docs/PERFORMANCE.md "the slot
+    cliff"): Mosaic cannot keep N consecutive warp bodies (or one
+    N-times-larger body) in registers, and sliced writes into the
+    merged output block defeat its streaming.  The per-step floor is
+    NOT amortizable by any form of step-growing.  The machinery is kept
+    (tested by scripts/check_tps_equality.py) for probes to override;
+    production stays at (1, 1).
+    """
+    best = (1, 1)
+    best_tot = 1
+    for tps_i in range(1, n_i + 1):
+        if n_i % tps_i:
+            continue
+        for tps_j in range(1, n_j + 1):
+            if n_j % tps_j:
+                continue
+            tps = tps_i * tps_j
+            if tps > tps_cap:
+                continue
+            bands = n_slots * tps * 5 * band_h * band_w * band_bytes
+            blocks = 2 * (5 + 2 + 5) * th * tw * tps * 4
+            if bands + blocks > total_budget:
+                continue
+            # Prefer lane-merge at equal amortization (contiguous io
+            # slices), then the larger total.
+            if tps > best_tot or (tps == best_tot and tps_j > best[1]):
+                best = (tps_i, tps_j)
+                best_tot = tps
+    return best
 
 
 def _make_kernel(
@@ -169,6 +246,9 @@ def _make_kernel(
     th: int = _TH,
     tw: int = _TW,
     n_slots: int = 2,
+    tps_i: int = 1,
+    tps_j: int = 1,
+    band_dtype=jnp.float32,
 ):
     """Build the fused warp+update kernel for static shapes.
 
@@ -187,13 +267,19 @@ def _make_kernel(
     r1_offset shifts the batch index of the band source (the
     frame-sequence driver passes the whole frame stack once and warps
     from frame b+1).
+
+    tps_i, tps_j: the block of adjacent tiles processed per grid step
+    (see warp_tiles_per_step) — each sub-tile keeps its own base
+    displacement, band DMA, anchors, and clip bookkeeping; only the
+    per-step overhead is amortized (M matches (1,1) to FMA-contraction
+    roundoff, scalars bit-exactly).
     """
     # Mosaic requires DMA slice shapes *and* start offsets aligned to
     # the (8, 128) VMEM tiling.  The band is over-sized to absorb both
     # the alignment slack (7 rows / 127 cols) and the window halo; the
     # unaligned remainder is corrected with dynamic rolls after the
     # copy (tpu.dynamic_rotate is cheap VPU data movement).
-    band_h, band_w = _band_dims(d_max_y, d_max_x, th, tw)
+    band_h, band_w = _band_dims(d_max_y, d_max_x, th, tw, band_dtype=band_dtype)
     n_t = 2 * d_max_y + 2 + 7
     n_s_full = 2 * d_max_x + 2
     n_s = min(s_cap, n_s_full) if s_cap else n_s_full
@@ -213,12 +299,24 @@ def _make_kernel(
         band2, acc5, sem2, *, n_i, n_j,
     ):
         bb = pl.program_id(0)
-        ti = pl.program_id(1)
-        tj = pl.program_id(2)
-        y0g = ti * th
-        x0g = tj * tw
-        idx = (bb * n_i + ti) * n_j + tj
-        total = pl.num_programs(0) * n_i * n_j
+        tig = pl.program_id(1)
+        tjg = pl.program_id(2)
+        tps = tps_i * tps_j
+        n_ig = n_i // tps_i
+        n_jg = n_j // tps_j
+        step = (bb * n_ig + tig) * n_jg + tjg
+        total = pl.num_programs(0) * n_ig * n_jg
+
+        def step_tile(step_, st):
+            """Flat tile id of sub-tile st of grid step step_."""
+            sti_, stj_ = divmod(st, tps_j)
+            tjg_ = step_ % n_jg
+            rest = step_ // n_jg  # = bb_*n_ig + tig_
+            tig_ = rest % n_ig
+            bb_ = rest // n_ig
+            return (
+                bb_ * n_i + tig_ * tps_i + sti_
+            ) * n_j + tjg_ * tps_j + stj_
 
         def tile_geometry(flat_idx):
             tj_ = flat_idx % n_j
@@ -231,181 +329,211 @@ def _make_kernel(
             col0a_ = pl.multiple_of((col0_ // 128) * 128, 128)
             return bb_, row0_, col0_, row0a_, col0a_
 
-        def band_dma(flat_idx, slot):
-            bb_, _, _, row0a_, col0a_ = tile_geometry(flat_idx)
+        def band_dma(step_, st, slot):
+            bb_, _, _, row0a_, col0a_ = tile_geometry(step_tile(step_, st))
             return pltpu.make_async_copy(
                 r1_ref.at[bb_ + r1_offset, :, pl.ds(row0a_, band_h), pl.ds(col0a_, band_w)],
-                band2.at[slot],
-                sem2.at[slot],
+                band2.at[slot, st],
+                sem2.at[slot, st],
             )
 
-        # Multi-buffered band pipeline: tile idx computes from slot
-        # idx % n_slots while the next (n_slots - 1) tiles' bands
-        # stream into the other slots.  Depth > 2 exists because the
-        # per-tile cost is DMA-latency-bound, not transfer-bound: one
-        # step of lookahead (~1 us of compute on smooth tiles) cannot
-        # hide the several-us issue-to-complete latency of an HBM read.
-        cur = idx % n_slots
+        # Multi-buffered band pipeline: step computes from slot
+        # step % n_slots while the next (n_slots - 1) steps' bands
+        # (tps each) stream into the other slots.  Depth > 2 exists
+        # because the per-tile cost is DMA-latency-bound, not
+        # transfer-bound: one step of lookahead (~1 us of compute on
+        # smooth tiles) cannot hide the several-us issue-to-complete
+        # latency of an HBM read.
+        cur = step % n_slots
         ahead = n_slots - 1
 
-        @pl.when(idx == 0)
+        @pl.when(step == 0)
         def _():
             for d in range(ahead):
 
                 @pl.when(d < total)
                 def _(d=d):
-                    band_dma(d, d % n_slots).start()
+                    for st in range(tps):
+                        band_dma(d, st, d % n_slots).start()
 
-        @pl.when(idx + ahead < total)
+        @pl.when(step + ahead < total)
         def _():
-            band_dma(idx + ahead, (idx + ahead) % n_slots).start()
+            for st in range(tps):
+                band_dma(step + ahead, st, (step + ahead) % n_slots).start()
 
-        band_dma(idx, cur).wait()
+        for st in range(tps):
+            band_dma(step, st, cur).wait()
+            sti, stj = divmod(st, tps_j)
+            ti = tig * tps_i + sti
+            tj = tjg * tps_j + stj
+            y0g = ti * th
+            x0g = tj * tw
+            flat_idx = step_tile(step, st)
+            rsl = slice(sti * th, (sti + 1) * th)
+            sl = slice(stj * tw, (stj + 1) * tw)
 
-        fx = flow_ref[0, 0]
-        fy = flow_ref[0, 1]
-        _, row0, col0, row0a, col0a = tile_geometry(idx)
-        m_col = col0 - col0a
-        band = band2[cur]
+            fx = flow_ref[0, 0, rsl, sl]
+            fy = flow_ref[0, 1, rsl, sl]
+            _, row0, col0, row0a, col0a = tile_geometry(flat_idx)
+            m_col = col0 - col0a
+            band = band2[cur, st]
 
-        ii = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + y0g
-        jj = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + x0g
-        gx = jj.astype(jnp.float32) + fx
-        gy = ii.astype(jnp.float32) + fy
-        x1f = jnp.floor(gx)
-        y1f = jnp.floor(gy)
-        ax = gx - x1f
-        ay = gy - y1f
-        x1i = x1f.astype(jnp.int32)
-        y1i = y1f.astype(jnp.int32)
-        inside = (x1i >= 0) & (x1i < w - 1) & (y1i >= 0) & (y1i < h - 1)
-        # Pixels whose sampled band values actually matter: inside the
-        # warp guard AND on the true grid (tile padding is discarded).
-        live = inside & (ii < h) & (jj < w)
+            ii = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + y0g
+            jj = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + x0g
+            gx = jj.astype(jnp.float32) + fx
+            gy = ii.astype(jnp.float32) + fy
+            x1f = jnp.floor(gx)
+            y1f = jnp.floor(gy)
+            ax = gx - x1f
+            ay = gy - y1f
+            x1i = x1f.astype(jnp.int32)
+            y1i = y1f.astype(jnp.int32)
+            inside = (x1i >= 0) & (x1i < w - 1) & (y1i >= 0) & (y1i < h - 1)
+            # Pixels whose sampled band values actually matter: inside
+            # the warp guard AND on the true grid (tile padding is
+            # discarded).
+            live = inside & (ii < h) & (jj < w)
 
-        # Band-relative candidate indices.  Rows are relative to the
-        # *aligned* start (row slack widens the range to 0..2*d_y+8);
-        # columns are relative to the span-anchored rolled start.
-        t_raw = y1i - ii + (y0g - (row0a - pad_y))
-        t_idx = jnp.clip(t_raw, 0, n_t - 1)
-        s_raw = x1i - jj + (x0g - (col0 - pad_x))
-        s_full = jnp.clip(s_raw, 0, n_s_full - 1)
-        # Anchor the horizontal window at the tile's min live candidate
-        # so the MAC loop walks the tile's *actual* span from slot 0.
-        smin = jnp.min(jnp.where(live, s_full, n_s_full - 1))
-        smin = jnp.clip(smin, 0, max(n_s_full - n_s, 0))
-        roll_shift = -(m_col + smin)
-        s_idx = jnp.clip(s_full - smin, 0, n_s - 1)
-        s_over = (s_raw != s_full) | (s_full - smin != s_idx)
+            # Band-relative candidate indices.  Rows are relative to
+            # the *aligned* start (row slack widens the range to
+            # 0..2*d_y+8); columns are relative to the span-anchored
+            # rolled start.
+            t_raw = y1i - ii + (y0g - (row0a - pad_y))
+            t_idx = jnp.clip(t_raw, 0, n_t - 1)
+            s_raw = x1i - jj + (x0g - (col0 - pad_x))
+            s_full = jnp.clip(s_raw, 0, n_s_full - 1)
+            # Anchor the horizontal window at the tile's min live
+            # candidate so the MAC loop walks the tile's *actual* span
+            # from slot 0.
+            smin = jnp.min(jnp.where(live, s_full, n_s_full - 1))
+            smin = jnp.clip(smin, 0, max(n_s_full - n_s, 0))
+            roll_shift = -(m_col + smin)
+            s_idx = jnp.clip(s_full - smin, 0, n_s - 1)
+            s_over = (s_raw != s_full) | (s_full - smin != s_idx)
 
-        # Clipped candidates mean the banded approximation was violated
-        # (per-pixel displacement strayed past d_max_y/d_max_x of the
-        # tile mean, or past the s_cap span): count them, and export the
-        # per-tile window anchor plus the *missed* pixels' min floor
-        # candidates, so the multi-pass driver can re-anchor follow-up
-        # windows and re-derive this window's coverage from scalars
-        # alone (update_matrices_banded_multi_cf).
-        missed = live & ((t_raw != t_idx) | s_over)
-        n_clip = jnp.sum(missed.astype(jnp.int32))
-        clip_ref[0, ti, tj] = n_clip
-        smin_ref[0, ti, tj] = smin
-        big = jnp.int32(1 << 20)
-        rmdy_ref[0, ti, tj] = jnp.min(jnp.where(missed, y1i - ii, big))
-        rmdx_ref[0, ti, tj] = jnp.min(jnp.where(missed, x1i - jj, big))
+            # Clipped candidates mean the banded approximation was
+            # violated (per-pixel displacement strayed past
+            # d_max_y/d_max_x of the tile mean, or past the s_cap
+            # span): count them, and export the per-tile window anchor
+            # plus the *missed* pixels' min floor candidates, so the
+            # multi-pass driver can re-anchor follow-up windows and
+            # re-derive this window's coverage from scalars alone
+            # (update_matrices_banded_tiles_cf).
+            missed = live & ((t_raw != t_idx) | s_over)
+            n_clip = jnp.sum(missed.astype(jnp.int32))
+            clip_ref[0, ti, tj] = n_clip
+            smin_ref[0, ti, tj] = smin
+            big = jnp.int32(1 << 20)
+            rmdy_ref[0, ti, tj] = jnp.min(jnp.where(missed, y1i - ii, big))
+            rmdx_ref[0, ti, tj] = jnp.min(jnp.where(missed, x1i - jj, big))
 
-        # Lane alignment (0..127, plus the span anchor) is corrected
-        # with a single dynamic lane roll over the channel-stacked band
-        # (verified exact; 2D lane rolls are the only dynamic rolls
-        # Mosaic compiles correctly — sublane and 3D rolls miscompile).
-        # The 0..7-row alignment slack is absorbed into the vertical
-        # candidate range.
-        rolled = pltpu.roll(band.reshape(5 * band_h, band_w), shift=roll_shift, axis=1)
-        if precision == "bf16":
-            rolled = rolled.astype(jnp.bfloat16)
-        bandv = [rolled[c * band_h : (c + 1) * band_h] for c in range(5)]
+            # Lane alignment (0..127, plus the span anchor) is
+            # corrected with a single dynamic lane roll over the
+            # channel-stacked band (verified exact; 2D lane rolls are
+            # the only dynamic rolls Mosaic compiles correctly —
+            # sublane and 3D rolls miscompile).  The 0..7-row
+            # alignment slack is absorbed into the vertical candidate
+            # range.
+            bandf = band.reshape(5 * band_h, band_w)
+            if bandf.dtype != jnp.float32:
+                # bf16 dynamic rolls don't compile (tpu.dynamic_rotate
+                # is 32-bit-only — scripts/repro_roll_bf16); upcast
+                # first.  The later wdt cast reproduces the same bf16
+                # values bit-for-bit, so bf16-band == f32-band+bf16-MAC.
+                bandf = bandf.astype(jnp.float32)
+            rolled = pltpu.roll(bandf, shift=roll_shift, axis=1)
+            if precision == "bf16":
+                rolled = rolled.astype(jnp.bfloat16)
+            bandv = [rolled[c * band_h : (c + 1) * band_h] for c in range(5)]
 
-        # Sparse predicated accumulation: a tile's pixels only ever hit
-        # candidates in [min(t_idx), max(t_idx)+1] × [0, smax+1]
-        # (typically ~3×3 of the full static range), so each t row and
-        # each 4-slot s block is guarded by a *scalar* pl.when — wide
-        # static d_max ranges cost branches, not vector MACs.
-        live_t = jnp.where(live, t_idx, -1)
-        tmin = jnp.min(jnp.where(live, t_idx, n_t - 1))
-        tmax = jnp.max(live_t)
-        smin_b = jnp.min(jnp.where(live, s_idx, n_s - 1))
-        smax = jnp.max(jnp.where(live, s_idx, 0))
-        acc5[...] = jnp.zeros((5, th, tw), jnp.float32)
-        axw = ax.astype(wdt)
-        one_m_axw = (1.0 - ax).astype(wdt)
-        # Loops run one slot/row past the window (range n_t+1 / n_s+1):
-        # a pixel whose floor corner sits on the LAST slot still needs
-        # its +1 bilinear corner from the next slot — without the
-        # extension that term is silently dropped for displacements in
-        # the (d_max, d_max+1] boundary shell (uncounted by the clip
-        # detector, whose contract is floor-corner-in-window).  Band
-        # margins cover the extra read (see the roll-margin proof).
-        for t in range(n_t + 1):
+            # Sparse predicated accumulation: a tile's pixels only ever
+            # hit candidates in [min(t_idx), max(t_idx)+1] × [0,
+            # smax+1] (typically ~3×3 of the full static range), so
+            # each t row and each 4-slot s block is guarded by a
+            # *scalar* pl.when — wide static d_max ranges cost
+            # branches, not vector MACs.
+            live_t = jnp.where(live, t_idx, -1)
+            tmin = jnp.min(jnp.where(live, t_idx, n_t - 1))
+            tmax = jnp.max(live_t)
+            smin_b = jnp.min(jnp.where(live, s_idx, n_s - 1))
+            smax = jnp.max(jnp.where(live, s_idx, 0))
+            acc5[...] = jnp.zeros((5, th, tw), jnp.float32)
+            axw = ax.astype(wdt)
+            one_m_axw = (1.0 - ax).astype(wdt)
+            # Loops run one slot/row past the window (range n_t+1 /
+            # n_s+1): a pixel whose floor corner sits on the LAST slot
+            # still needs its +1 bilinear corner from the next slot —
+            # without the extension that term is silently dropped for
+            # displacements in the (d_max, d_max+1] boundary shell
+            # (uncounted by the clip detector, whose contract is
+            # floor-corner-in-window).  Band margins cover the extra
+            # read (see the roll-margin proof).
+            for t in range(n_t + 1):
 
-            @pl.when((t >= tmin) & (t <= tmax + 1))
-            def _(t=t):
-                wy = jnp.where(t_idx == t, 1.0 - ay, 0.0) if t < n_t else (
-                    jnp.zeros((th, tw), jnp.float32)
-                )
-                if t >= 1:
-                    wy = wy + jnp.where(t_idx == t - 1, ay, 0.0)
-                for sb in range(0, n_s + 1, _SB):
+                @pl.when((t >= tmin) & (t <= tmax + 1))
+                def _(t=t, t_idx=t_idx, ay=ay, s_idx=s_idx, axw=axw,
+                      one_m_axw=one_m_axw, bandv=bandv, smax=smax,
+                      smin_b=smin_b):
+                    wy = jnp.where(t_idx == t, 1.0 - ay, 0.0) if t < n_t else (
+                        jnp.zeros((th, tw), jnp.float32)
+                    )
+                    if t >= 1:
+                        wy = wy + jnp.where(t_idx == t - 1, ay, 0.0)
+                    for sb in range(0, n_s + 1, _SB):
 
-                    # A block touches live weights iff some live s_idx
-                    # falls in [sb-1, sb+_SB-1] (each slot sv reads
-                    # s_idx == sv and sv-1) — two-sided guard, so with
-                    # the window un-anchored (s_cap = 0) dead blocks
-                    # below the live span are skipped too.
-                    @pl.when((sb <= smax + 1) & (smin_b < sb + _SB))
-                    def _(t=t, sb=sb):
-                        # Register-accumulated inner block; one VMEM
-                        # RMW per (t, block, channel).
-                        inner = [jnp.zeros((th, tw), wdt) for _ in range(5)]
-                        for sv in range(sb, min(sb + _SB, n_s + 1)):
-                            wx = (
-                                jnp.where(s_idx == sv, one_m_axw, jnp.zeros((), wdt))
-                                if sv < n_s
-                                else jnp.zeros((th, tw), wdt)
-                            )
-                            if sv >= 1:
-                                wx = wx + jnp.where(s_idx == sv - 1, axw, jnp.zeros((), wdt))
+                        # A block touches live weights iff some live
+                        # s_idx falls in [sb-1, sb+_SB-1] (each slot sv
+                        # reads s_idx == sv and sv-1) — two-sided
+                        # guard, so with the window un-anchored
+                        # (s_cap = 0) dead blocks below the live span
+                        # are skipped too.
+                        @pl.when((sb <= smax + 1) & (smin_b < sb + _SB))
+                        def _(t=t, sb=sb, wy=wy, s_idx=s_idx, axw=axw,
+                              one_m_axw=one_m_axw, bandv=bandv):
+                            # Register-accumulated inner block; one
+                            # VMEM RMW per (t, block, channel).
+                            inner = [jnp.zeros((th, tw), wdt) for _ in range(5)]
+                            for sv in range(sb, min(sb + _SB, n_s + 1)):
+                                wx = (
+                                    jnp.where(s_idx == sv, one_m_axw, jnp.zeros((), wdt))
+                                    if sv < n_s
+                                    else jnp.zeros((th, tw), wdt)
+                                )
+                                if sv >= 1:
+                                    wx = wx + jnp.where(s_idx == sv - 1, axw, jnp.zeros((), wdt))
+                                for c in range(5):
+                                    inner[c] = inner[c] + wx * bandv[c][t : t + th, sv : sv + tw]
                             for c in range(5):
-                                inner[c] = inner[c] + wx * bandv[c][t : t + th, sv : sv + tw]
-                        for c in range(5):
-                            acc5[c] += wy * inner[c].astype(jnp.float32)
+                                acc5[c] += wy * inner[c].astype(jnp.float32)
 
-        r2s = acc5[0]
-        r3s = acc5[1]
-        r4s = acc5[2]
-        r5s = acc5[3]
-        r6s = acc5[4]
-        r0b = r0_ref[0]
-        r4 = jnp.where(inside, (r0b[2] + r4s) * 0.5, r0b[2])
-        r5 = jnp.where(inside, (r0b[3] + r5s) * 0.5, r0b[3])
-        r6 = jnp.where(inside, (r0b[4] + r6s) * 0.25, r0b[4] * 0.5)
-        r2 = (r0b[0] - jnp.where(inside, r2s, 0.0)) * 0.5
-        r3 = (r0b[1] - jnp.where(inside, r3s, 0.0)) * 0.5
-        dx = fx
-        dy = fy
-        r2 = r2 + r4 * dy + r6 * dx
-        r3 = r3 + r6 * dy + r5 * dx
+            r2s = acc5[0]
+            r3s = acc5[1]
+            r4s = acc5[2]
+            r5s = acc5[3]
+            r6s = acc5[4]
+            r0b = r0_ref[0, :, rsl, sl]
+            r4 = jnp.where(inside, (r0b[2] + r4s) * 0.5, r0b[2])
+            r5 = jnp.where(inside, (r0b[3] + r5s) * 0.5, r0b[3])
+            r6 = jnp.where(inside, (r0b[4] + r6s) * 0.25, r0b[4] * 0.5)
+            r2 = (r0b[0] - jnp.where(inside, r2s, 0.0)) * 0.5
+            r3 = (r0b[1] - jnp.where(inside, r3s, 0.0)) * 0.5
+            dx = fx
+            dy = fy
+            r2 = r2 + r4 * dy + r6 * dx
+            r3 = r3 + r6 * dy + r5 * dx
 
-        scale = _border_scale_vec(ii, h) * _border_scale_vec(jj, w)
-        r2 = r2 * scale
-        r3 = r3 * scale
-        r4 = r4 * scale
-        r5 = r5 * scale
-        r6 = r6 * scale
+            scale = _border_scale_vec(ii, h) * _border_scale_vec(jj, w)
+            r2 = r2 * scale
+            r3 = r3 * scale
+            r4 = r4 * scale
+            r5 = r5 * scale
+            r6 = r6 * scale
 
-        m_ref[0, 0] = r4 * r4 + r6 * r6
-        m_ref[0, 1] = (r4 + r5) * r6
-        m_ref[0, 2] = r5 * r5 + r6 * r6
-        m_ref[0, 3] = r4 * r2 + r6 * r3
-        m_ref[0, 4] = r6 * r2 + r5 * r3
+            m_ref[0, 0, rsl, sl] = r4 * r4 + r6 * r6
+            m_ref[0, 1, rsl, sl] = (r4 + r5) * r6
+            m_ref[0, 2, rsl, sl] = r5 * r5 + r6 * r6
+            m_ref[0, 3, rsl, sl] = r4 * r2 + r6 * r3
+            m_ref[0, 4, rsl, sl] = r6 * r2 + r5 * r3
 
     return kernel, band_h, band_w
 
@@ -466,13 +594,21 @@ def update_matrices_banded_cf(
             )
     hp, wp = r1p.shape[-2], r1p.shape[-1]
 
+    n_i = ht // th
+    n_j = wt // tw
+    band_dtype = r1p.dtype
+    band_h0, band_w0 = _band_dims(d_max_y, d_max_x, th, tw, band_dtype=band_dtype)
+    tps_i, tps_j = warp_tiles_per_step(
+        n_i, n_j, band_h0, band_w0, th, tw, n_slots,
+        band_bytes=jnp.dtype(band_dtype).itemsize,
+    )
+    tps = tps_i * tps_j
     kernel, band_h, band_w = _make_kernel(
         h, w, hp, wp, pad_y, pad_x, d_max_y, d_max_x,
         s_cap=s_cap, precision=precision, r1_offset=r1_offset, s_block=s_block,
-        th=th, tw=tw, n_slots=n_slots,
+        th=th, tw=tw, n_slots=n_slots, tps_i=tps_i, tps_j=tps_j,
+        band_dtype=band_dtype,
     )
-    n_i = ht // th
-    n_j = wt // tw
 
     # Per-tile integer base displacements, precomputed so the kernel's
     # double-buffered pipeline can start tile t+1's band DMA during
@@ -503,15 +639,15 @@ def update_matrices_banded_cf(
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(b, n_i, n_j),
+            grid=(b, n_i // tps_i, n_j // tps_j),
             in_specs=[
                 pl.BlockSpec(
-                    (1, 5, th, tw),
+                    (1, 5, th * tps_i, tw * tps_j),
                     lambda bb, i, j, *refs: (bb, 0, i, j),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, 2, th, tw),
+                    (1, 2, th * tps_i, tw * tps_j),
                     lambda bb, i, j, *refs: (bb, 0, i, j),
                     memory_space=pltpu.VMEM,
                 ),
@@ -519,7 +655,7 @@ def update_matrices_banded_cf(
             ],
             out_specs=(
                 pl.BlockSpec(
-                    (1, 5, th, tw),
+                    (1, 5, th * tps_i, tw * tps_j),
                     lambda bb, i, j, *refs: (bb, 0, i, j),
                     memory_space=pltpu.VMEM,
                 ),
@@ -529,9 +665,9 @@ def update_matrices_banded_cf(
                 smem_tile_spec(),
             ),
             scratch_shapes=[
-                pltpu.VMEM((n_slots, 5, band_h, band_w), jnp.float32),
+                pltpu.VMEM((n_slots, tps, 5, band_h, band_w), band_dtype),
                 pltpu.VMEM((5, th, tw), jnp.float32),
-                pltpu.SemaphoreType.DMA((n_slots,)),
+                pltpu.SemaphoreType.DMA((n_slots, tps)),
             ],
         ),
         interpret=interpret,
@@ -630,6 +766,7 @@ def _make_kernel2(
     r1_offset: int = 0,
     th: int = _TH,
     tw: int = _TW,
+    band_dtype=jnp.float32,
 ):
     """Follow-up-window warp kernel over a compacted tile list.
 
@@ -639,7 +776,7 @@ def _make_kernel2(
     visited).  The current window is s_cap slots anchored via the
     prefetched (by_cur, bx_cur, smin_cur).
     """
-    band_h, band_w = _band_dims(d_max_y, d_max_x, th, tw)
+    band_h, band_w = _band_dims(d_max_y, d_max_x, th, tw, band_dtype=band_dtype)
     n_t = 2 * d_max_y + 2 + 7
     n_s_full = 2 * d_max_x + 2
     n_s = min(s_cap, n_s_full) if s_cap else n_s_full
@@ -752,7 +889,10 @@ def _make_kernel2(
         rmdy_ref[step] = jnp.min(jnp.where(resid, dev_y, big))
         rmdx_ref[step] = jnp.min(jnp.where(resid, dev_x, big))
 
-        rolled = pltpu.roll(band.reshape(5 * band_h, band_w), shift=roll_shift, axis=1)
+        bandf = band.reshape(5 * band_h, band_w)
+        if bandf.dtype != jnp.float32:
+            bandf = bandf.astype(jnp.float32)  # dynamic rolls are 32-bit-only
+        rolled = pltpu.roll(bandf, shift=roll_shift, axis=1)
         if precision == "bf16":
             rolled = rolled.astype(jnp.bfloat16)
         bandv = [rolled[c * band_h : (c + 1) * band_h] for c in range(5)]
@@ -881,7 +1021,7 @@ def update_matrices_banded_tiles_cf(
     kernel, band_h, band_w = _make_kernel2(
         h, w, hp, wp, pad_y, pad_x, d_max_y, d_max_x,
         prev_n_s=tuple(prev_n_s), s_cap=s_cap, precision=precision,
-        r1_offset=r1_offset, th=th, tw=tw,
+        r1_offset=r1_offset, th=th, tw=tw, band_dtype=r1p.dtype,
     )
 
     def tile_of(step, sel_ref, *rest):
@@ -930,7 +1070,7 @@ def update_matrices_banded_tiles_cf(
                 pl.BlockSpec((k,), lambda s, *refs: (0,), memory_space=pltpu.SMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, 5, band_h, band_w), jnp.float32),
+                pltpu.VMEM((2, 5, band_h, band_w), r1p.dtype),
                 pltpu.VMEM((5, th, tw), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],

@@ -107,19 +107,34 @@ def check_dma(dtype, align, row_start, n_lead=0):
 
 def main():
     print(f"backend: {jax.devices()[0].platform}", flush=True)
-    check_roll(jnp.float32, 512)
-    check_roll(jnp.bfloat16, 512)
-    check_roll(jnp.bfloat16, 1024)
+    # VERDICT (2026-08-19, v5e): bf16 dynamic rolls DO NOT COMPILE —
+    # Mosaic rejects tpu.dynamic_rotate on non-32-bit data.  The bf16
+    # band therefore upcasts to f32 before the roll (the DMA-byte
+    # saving is the win; the roll was always O(band) VPU work).
+    for dtype, w in ((jnp.float32, 512), (jnp.bfloat16, 512), (jnp.bfloat16, 1024)):
+        try:
+            check_roll(dtype, w)
+        except Exception as e:
+            print(f"roll {jnp.dtype(dtype).name} w={w:<18} COMPILE-FAIL: "
+                  f"{str(e).splitlines()[0][:80]}", flush=True)
     # Both placements (ADVICE r3): small source (Mosaic may keep the
     # pl.ANY input in VMEM) and a >16 MB source (must be HBM, matching
     # the production r1p band source).
     for n_lead in (0, 64):
         for start in (0, 8, 16, 24, 40, 100):
-            check_dma(jnp.bfloat16, 16, start, n_lead=n_lead)
+            try:
+                check_dma(jnp.bfloat16, 16, start, n_lead=n_lead)
+            except Exception as e:
+                print(f"dma bf16 align=16 start={start} n_lead={n_lead} "
+                      f"COMPILE-FAIL: {str(e).splitlines()[0][:80]}", flush=True)
         # Is 8-row alignment enough for bf16 DMA (i.e. is the granule
         # the fp32 sublane tile or the bf16 packed tile)?
         for start in (8, 24):
-            check_dma(jnp.bfloat16, 8, start, n_lead=n_lead)
+            try:
+                check_dma(jnp.bfloat16, 8, start, n_lead=n_lead)
+            except Exception as e:
+                print(f"dma bf16 align=8 start={start} n_lead={n_lead} "
+                      f"COMPILE-FAIL: {str(e).splitlines()[0][:80]}", flush=True)
 
 
 if __name__ == "__main__":
