@@ -79,8 +79,6 @@ def _cohort_seq_step(mesh: Mesh, flow_params):
     ONE dispatched program.  Cached per (mesh, params) so repeated
     chunks reuse the compiled executable.
     """
-    from jax.experimental.shard_map import shard_map
-
     def local(fr, e1, e2, mk):
         def one(args):
             f, a, b, m = args
@@ -90,12 +88,12 @@ def _cohort_seq_step(mesh: Mesh, flow_params):
         return jax.lax.map(one, (fr, e1, e2, mk))
 
     return jax.jit(
-        shard_map(
+        jax.shard_map(
             local,
             mesh=mesh,
             in_specs=(P("data"), P("data"), P("data"), P("data")),
             out_specs=P("data"),
-            check_rep=False,
+            check_vma=False,
         )
     )
 
@@ -173,7 +171,12 @@ def cohort_flow_sharded(items, flows, config, chunk_pairs: int, mesh: Mesh):
             )
     else:
         frames_all = vpad(np.stack(vids)).astype(np.uint8)  # ArraySource semantics
-    masks_dev = jnp.asarray(vpad(masks_np))
+    # Mesh-explicit placement: the video axis is sharded over "data" so
+    # the chunk program never re-shards, and the whole path works when
+    # the mesh's devices are not the default backend (e.g. the CPU-mesh
+    # dryrun under an ambient TPU backend).
+    _data = NamedSharding(mesh, P("data"))
+    masks_dev = jax.device_put(vpad(masks_np), _data)
     ex_all = vpad(np.stack(ex_p))
     ey_all = vpad(np.stack(ey_p))
 
@@ -213,7 +216,8 @@ def cohort_flow_sharded(items, flows, config, chunk_pairs: int, mesh: Mesh):
         ex_c[:, :b_eff] = ex_all[:, s : s + b_eff]
         ey_c[:, :b_eff] = ey_all[:, s : s + b_eff]
         out = _cohort_seq_step(mesh, config.flow)(
-            jnp.asarray(fr), jnp.asarray(ex_c), jnp.asarray(ey_c), masks_dev
+            jax.device_put(fr, _data), jax.device_put(ex_c, _data),
+            jax.device_put(ey_c, _data), masks_dev,
         )
         pending.append((s, b_eff, out))
         while len(pending) > 2:

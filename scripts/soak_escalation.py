@@ -128,7 +128,12 @@ def main():
         pending = [roi_body_flow_seq(c, exd, eyd, masks, flow_p) for c in chunks]
         packed = np.asarray(pack([f for f, _ in pending], [c for _, c in pending]))
         t_fast = time.perf_counter() - t0
-        vx, vy, mg, clips = (packed[:, k].copy() for k in range(4))
+        # Keep the ROI dimension: the production ladder assigns
+        # (k, R)-shaped rows (pipeline.py resolve() passes (n_pairs, R)).
+        vx = packed[:, 0:1].copy()
+        vy = packed[:, 1:2].copy()
+        mg = packed[:, 2:3].copy()
+        clips = packed[:, 3].copy()
         n1, n2 = escalate_clipped_pairs(
             vx, vy, mg, clips, f_dev, ex, ey, masks, config, N_PAIRS)
         dt = time.perf_counter() - t0
