@@ -25,14 +25,65 @@ H, W = 480, 640
 CHUNK_LADDER = (256, 128, 64, 32)
 N_PAIRS = 512          # TPU-timed pairs
 CHUNK = CHUNK_LADDER[0]
-# OpenCV-CPU denominator protocol (VERDICT r3 #2): the ratio's
-# denominator is the BEST of CPU_REPEATS timed runs of CPU_PAIRS pairs
-# each — best-of favors cv2, so the reported ratio is conservative —
-# and the JSON line records cpu_fps/cpu_pairs/tpu_fps so vs_baseline is
-# auditable across rounds.  Round 3's single 24-pair run drew a lucky
-# 10.45 fps against the measured 12.1–13.7 fps band.
+# OpenCV-CPU denominator POLICY (VERDICT r4 weak #1/next #3 — stated
+# here and in docs/PERFORMANCE.md "Denominator policy"):
+#   - the denominator is the BEST cv2 fps observed across CPU_REPEATS
+#     runs of CPU_PAIRS pairs measured BEFORE the TPU region plus
+#     CPU_REPEATS runs measured immediately AFTER it (best-of favors
+#     cv2 on a drifting single-core host, so the reported ratio is the
+#     conservative end);
+#   - both readings are recorded (cpu_fps_pre / cpu_fps_post) so the
+#     drift itself is auditable;
+#   - the recorded cv2 band across rounds is 10.45–16.58 fps; the ≥50×
+#     north star is judged at the band's TOP, i.e. it requires
+#     ~830 fps, not 50×(whatever this run drew).
 CPU_PAIRS = 48
 CPU_REPEATS = 3
+
+
+def measure_cv2_fps(frames, roi, ex0, ey0, n_pairs, repeats, label="cv2"):
+    """Best-of-`repeats` fps of the reference compute path
+    (cv2.calcOpticalFlowFarneback + body projection + ROI nanmean,
+    optical_flow.py:136-189) over the first `n_pairs` pairs."""
+    try:
+        import cv2
+    except Exception as e:  # pragma: no cover
+        print(f"# {label} baseline unavailable: {e}", file=sys.stderr)
+        return None
+    h, w = frames[0].shape
+    mask = np.zeros((h, w), np.uint8)
+    cv2.fillPoly(mask, [roi.astype(np.int32)], 1)
+    maskb = mask.astype(bool)
+    fb = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3,
+              poly_n=5, poly_sigma=1.2, flags=0)
+    cv2.calcOpticalFlowFarneback(frames[0], frames[1], None, **fb)  # warmup
+    best = None
+    for rep in range(repeats):
+        t0 = time.perf_counter()
+        for i in range(1, n_pairs + 1):
+            fl = cv2.calcOpticalFlowFarneback(frames[i - 1], frames[i], None, **fb)
+            fxb = fl[..., 0] * ex0[0] + fl[..., 1] * ex0[1]
+            fyb = fl[..., 0] * ey0[0] + fl[..., 1] * ey0[1]
+            mg = cv2.magnitude(fxb, fyb)
+            _ = (np.nanmean(fxb[maskb]), np.nanmean(fyb[maskb]), np.nanmean(mg[maskb]))
+        rep_fps = n_pairs / (time.perf_counter() - t0)
+        best = rep_fps if best is None else max(best, rep_fps)
+        print(f"# {label} repeat {rep}: {rep_fps:.2f} fps", file=sys.stderr)
+    return best
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: cuts repeat-run compile time on
+    this 1-core host.  Warmups are explicit, so timed regions are
+    unaffected."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
 
 
 def render_clip(n_frames, h=H, w=W, fps=30.0, seed=0):
@@ -57,35 +108,15 @@ def main(chunk: int = None):
     ex = np.tile(np.array([np.cos(theta), -np.sin(theta)], np.float32), (chunk, 1))
     ey = np.tile(np.array([np.sin(theta), np.cos(theta)], np.float32), (chunk, 1))
 
-    # ---- OpenCV-CPU denominator (the reference compute path) ----------
-    cpu_fps = None
-    try:
-        import cv2
-
-        mask = np.zeros((H, W), np.uint8)
-        cv2.fillPoly(mask, [roi.astype(np.int32)], 1)
-        maskb = mask.astype(bool)
-        fb = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3,
-                  poly_n=5, poly_sigma=1.2, flags=0)
-        # warmup
-        cv2.calcOpticalFlowFarneback(frames[0], frames[1], None, **fb)
-        for _rep in range(CPU_REPEATS):
-            t0 = time.perf_counter()
-            for i in range(1, CPU_PAIRS + 1):
-                fl = cv2.calcOpticalFlowFarneback(frames[i - 1], frames[i], None, **fb)
-                fxb = fl[..., 0] * ex[0, 0] + fl[..., 1] * ex[0, 1]
-                fyb = fl[..., 0] * ey[0, 0] + fl[..., 1] * ey[0, 1]
-                mg = cv2.magnitude(fxb, fyb)
-                _ = (np.nanmean(fxb[maskb]), np.nanmean(fyb[maskb]), np.nanmean(mg[maskb]))
-            rep_fps = CPU_PAIRS / (time.perf_counter() - t0)
-            cpu_fps = rep_fps if cpu_fps is None else max(cpu_fps, rep_fps)
-            print(f"# cv2 repeat {_rep}: {rep_fps:.2f} fps", file=sys.stderr)
-    except Exception as e:  # pragma: no cover
-        print(f"# cv2 baseline unavailable: {e}", file=sys.stderr)
+    # ---- OpenCV-CPU denominator, pre-TPU reading ----------------------
+    cpu_pre = measure_cv2_fps(frames, roi, ex[0], ey[0],
+                              CPU_PAIRS, CPU_REPEATS, label="cv2-pre")
 
     # ---- TPU path -----------------------------------------------------
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from btcs_pnes_optical_flow_tpu.config import PipelineConfig
     from btcs_pnes_optical_flow_tpu.models.flow import roi_body_flow_seq
@@ -122,7 +153,15 @@ def main(chunk: int = None):
         iter_schedule=(3, 3, 2, 1),
         warp_coarse_reach=(4, 8, 8),
     )
-    masks = jnp.asarray(fill_poly_mask(H, W, roi)[None])
+    mask_np = fill_poly_mask(H, W, roi)
+    # ROI-aware dispatch (round 5): only tiles inside ROI ⊕ halo are
+    # dispatched — run_flow_stage applies the same boxes in production.
+    # EPE inside the ROI is bit-unchanged (tests/test_fused_driver.py::
+    # test_roi_dispatch_matches_full_inside_roi).
+    from btcs_pnes_optical_flow_tpu.ops.farneback_fused import roi_dispatch_params
+
+    flow_p = roi_dispatch_params(flow_p, H, W, mask_np)
+    masks = jnp.asarray(mask_np[None])
     exd = jnp.asarray(ex)
     eyd = jnp.asarray(ey)
 
@@ -166,29 +205,30 @@ def main(chunk: int = None):
     )
     force(wf)
 
-    n_escalated = 0
+    # The PRODUCTION escalation ladder (models/pipeline.py) handles any
+    # clipped pairs — one shared tier implementation (VERDICT r4 weak
+    # #5), warmed above so the timed region includes its cost honestly.
+    from btcs_pnes_optical_flow_tpu.models.pipeline import escalate_clipped_pairs
+
+    config_esc = dataclasses.replace(cfg, flow=flow_p)
+    ex_full = np.tile(ex[:1], (N_PAIRS, 1))
+    ey_full = np.tile(ey[:1], (N_PAIRS, 1))
+
+    n_tier1 = n_tier2 = 0
     t0 = time.perf_counter()
     # Dispatch every chunk first (async: compute of chunk k+1 overlaps
     # the resolution of chunk k), then resolve everything through ONE
     # packed transfer.
     pending = [roi_body_flow_seq(c, exd, eyd, masks, flow_p) for c in chunks]
     packed = np.asarray(pack([f for f, _ in pending], [c for _, c in pending]))
-    vx_h, vy_h, mg_h, clips_h = (packed[:, k].copy() for k in range(4))
-    bad = np.nonzero(clips_h > 0)[0]
-    if bad.size:
-        # Mirror run_flow_stage's escalation for clipped pairs.
-        n_escalated = int(bad.size)
-        frames_flat = jnp.concatenate([chunks[0]] + [c[1:] for c in chunks[1:]])
-        for s in range(0, bad.size, 8):
-            sel = bad[s : s + 8]
-            idx = np.concatenate([sel, np.repeat(sel[-1:], 8 - len(sel))])
-            wfe, wc = roi_body_flow_checked(
-                frames_flat[idx], frames_flat[idx + 1],
-                exd[idx % chunk], eyd[idx % chunk], masks, wide,
-            )
-            vx_h[sel] = np.array(wfe.vx)[: len(sel), 0]
-            vy_h[sel] = np.array(wfe.vy)[: len(sel), 0]
-            mg_h[sel] = np.array(wfe.mag)[: len(sel), 0]
+    vx_h = packed[:, 0:1].copy()  # (N_PAIRS, 1): ladder assigns (k, R) rows
+    vy_h = packed[:, 1:2].copy()
+    mg_h = packed[:, 2:3].copy()
+    clips_h = packed[:, 3].copy()
+    n_tier1, n_tier2 = escalate_clipped_pairs(
+        vx_h, vy_h, mg_h, clips_h, frames, ex_full, ey_full, masks,
+        config_esc, N_PAIRS,
+    )
     # NOTE (measured, do not "optimize"): dispatching the PC1 head from
     # the still-on-device features inside this timed region looked like
     # a free ~3% (overlap the readback) but measured 2.8x SLOWER end to
@@ -197,11 +237,12 @@ def main(chunk: int = None):
     # round trip they saved.  Keep flow and PCA as separately timed,
     # fully warmed regions.
     flow_time = time.perf_counter() - t0
-    if n_escalated:
-        print(f"# escalated {n_escalated}/{N_PAIRS} pairs to the deep multi-window tier", file=sys.stderr)
+    if n_tier1:
+        print(f"# escalated {n_tier1}/{N_PAIRS} pairs (deep tier), "
+              f"{n_tier2} to the exact engine", file=sys.stderr)
 
-    vx = jnp.asarray(np.concatenate([[np.nan], vx_h]).astype(np.float32))
-    vy = jnp.asarray(np.concatenate([[np.nan], vy_h]).astype(np.float32))
+    vx = jnp.asarray(np.concatenate([[np.nan], vx_h[:, 0]]).astype(np.float32))
+    vy = jnp.asarray(np.concatenate([[np.nan], vy_h[:, 0]]).astype(np.float32))
     pc1 = pc1_from_flow(vx, vy, cfg.pca)
     force(pc1)  # compile
     t0 = time.perf_counter()
@@ -210,6 +251,16 @@ def main(chunk: int = None):
     pca_time = time.perf_counter() - t0
 
     tpu_fps = N_PAIRS / (flow_time + pca_time)
+
+    # ---- OpenCV-CPU denominator, post-TPU reading ---------------------
+    # Denominator policy (see CPU_PAIRS comment + docs/PERFORMANCE.md):
+    # re-measure cv2 immediately after the TPU region, report both
+    # readings, and divide by the best of all of them.
+    cpu_post = measure_cv2_fps(frames, roi, ex[0], ey[0],
+                               CPU_PAIRS, CPU_REPEATS, label="cv2-post")
+    readings = [f for f in (cpu_pre, cpu_post) if f]
+    cpu_fps = max(readings) if readings else None
+
     vs = (tpu_fps / cpu_fps) if cpu_fps else float("nan")
     dev = jax.devices()[0].platform
     return json.dumps(
@@ -218,14 +269,15 @@ def main(chunk: int = None):
             "value": round(tpu_fps, 2),
             "unit": "frames/sec",
             "vs_baseline": round(vs, 2) if vs == vs else None,
-            # Auditable denominator (VERDICT r3 #2): best of CPU_REPEATS
-            # runs of cpu_pairs pairs each (best-of favors cv2 → the
-            # ratio is conservative).
             "tpu_fps": round(tpu_fps, 2),
             "cpu_fps": round(cpu_fps, 2) if cpu_fps else None,
+            "cpu_fps_pre": round(cpu_pre, 2) if cpu_pre else None,
+            "cpu_fps_post": round(cpu_post, 2) if cpu_post else None,
             "cpu_pairs": CPU_PAIRS,
             "cpu_repeats": CPU_REPEATS,
-            "escalated_pairs": n_escalated,
+            "denominator_policy": "best of pre+post cv2 readings",
+            "escalated_pairs": n_tier1,
+            "exact_pairs": n_tier2,
         }
     )
 
@@ -246,27 +298,22 @@ def bench_1080p():
 
     h, w, n_pairs = 1080, 1920, 96
     frames = render_clip(n_pairs + 1, h=h, w=w, seed=1)
+    roi1080 = np.array([[420.0, 270.0], [1560.0, 330.0], [1500.0, 900.0], [360.0, 840.0]])
+    th = 0.3
+    ex0 = np.array([np.cos(th), -np.sin(th)], np.float32)
+    ey0 = np.array([np.sin(th), np.cos(th)], np.float32)
 
-    cpu_fps = None
-    cpu_pairs = 3
-    try:
-        import cv2
-
-        fb = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3,
-                  poly_n=5, poly_sigma=1.2, flags=0)
-        cv2.calcOpticalFlowFarneback(frames[0], frames[1], None, **fb)  # warmup
-        t0 = time.perf_counter()
-        for i in range(1, cpu_pairs + 1):
-            cv2.calcOpticalFlowFarneback(frames[i - 1], frames[i], None, **fb)
-        cpu_fps = cpu_pairs / (time.perf_counter() - t0)
-        print(f"# cv2 1080p: {cpu_fps:.3f} fps", file=sys.stderr)
-    except Exception as e:  # pragma: no cover
-        print(f"# cv2 1080p baseline unavailable: {e}", file=sys.stderr)
+    # Denominator policy (VERDICT r4 next #3): cpu_pairs raised 3 → 8
+    # (one ~1.3 s sample was deciding a 13-point ratio swing), measured
+    # both before and after the TPU region, best-of.
+    cpu_pairs = 8
+    cpu_pre = measure_cv2_fps(frames, roi1080, ex0, ey0, cpu_pairs, 1,
+                              label="cv2-1080p-pre")
 
     for chunk in (32, 16, 8):
         try:
-            roi = np.array([[420.0, 270.0], [1560.0, 330.0], [1500.0, 900.0], [360.0, 840.0]])
-            masks = jnp.asarray(fill_poly_mask(h, w, roi)[None])
+            mask1080 = fill_poly_mask(h, w, roi1080)
+            masks = jnp.asarray(mask1080[None])
             theta = 0.3
             ex = jnp.asarray(np.tile(np.array([np.cos(theta), -np.sin(theta)], np.float32), (chunk, 1)))
             ey = jnp.asarray(np.tile(np.array([np.sin(theta), np.cos(theta)], np.float32), (chunk, 1)))
@@ -281,6 +328,11 @@ def bench_1080p():
                 iter_schedule=(3, 3, 2, 1),
                 warp_coarse_reach=(4, 8, 8),
             )
+            from btcs_pnes_optical_flow_tpu.ops.farneback_fused import (
+                roi_dispatch_params,
+            )
+
+            flow_p = roi_dispatch_params(flow_p, h, w, mask1080)
             chunks = [jnp.asarray(frames[s : s + chunk + 1]) for s in range(0, n_pairs, chunk)]
 
             def force(tree):
@@ -291,6 +343,10 @@ def bench_1080p():
             feats = [roi_body_flow_seq(c, ex, ey, masks, flow_p)[0] for c in chunks]
             [force(f) for f in feats]
             fps = n_pairs / (time.perf_counter() - t0)
+            cpu_post = measure_cv2_fps(frames, roi1080, ex0, ey0, cpu_pairs, 1,
+                                       label="cv2-1080p-post")
+            readings = [f for f in (cpu_pre, cpu_post) if f]
+            cpu_fps = max(readings) if readings else None
             vs = (fps / cpu_fps) if cpu_fps else None
             print(
                 json.dumps(
@@ -300,7 +356,10 @@ def bench_1080p():
                         "unit": "frames/sec",
                         "vs_baseline": round(vs, 2) if vs else None,
                         "cpu_fps": round(cpu_fps, 3) if cpu_fps else None,
+                        "cpu_fps_pre": round(cpu_pre, 3) if cpu_pre else None,
+                        "cpu_fps_post": round(cpu_post, 3) if cpu_post else None,
                         "cpu_pairs": cpu_pairs,
+                        "denominator_policy": "best of pre+post cv2 readings",
                         "chunk_pairs": chunk,
                     }
                 )
@@ -381,13 +440,56 @@ def bench_cohort():
     dt = time.perf_counter() - t0
     total_frames = n_videos * n_frames
     assert int((df["status"] >= 0).sum()) == n_videos
+
+    # Single-core reference-pipeline denominator (VERDICT r4 next #9):
+    # the full reference chain (cv2 flow loop → SciPy band-pass +
+    # sliding PCA → metrics, via the tests/reference_impl.py oracle)
+    # over ONE of the 32 clips, scaled per frame.
+    cpu_fps = None
+    try:
+        import importlib.util as _ilu
+
+        spec = _ilu.spec_from_file_location(
+            "reference_impl",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tests", "reference_impl.py"),
+        )
+        ref = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+        from scipy.signal import butter
+
+        from btcs_pnes_optical_flow_tpu.ops.cvx import fill_poly_mask
+
+        it0 = items[0]
+        clip_host = np.asarray(it0.video)  # staged before the clock
+        roi_mask = fill_poly_mask(clip_host.shape[1], clip_host.shape[2], roi)
+        t0 = time.perf_counter()
+        fdf = ref.ref_flow_stage(
+            clip_host, it0.skeleton.time_all, it0.skeleton.fps,
+            it0.skeleton.ex, it0.skeleton.ey, roi_mask,
+        )
+        sos = butter(4, [0.5 / 15.0, 5.0 / 15.0], btype="band", output="sos")
+        vxf = ref.ref_bandpass_nanrobust(fdf["vx_body"].to_numpy(), sos)
+        vyf = ref.ref_bandpass_nanrobust(fdf["vy_body"].to_numpy(), sos)
+        pc1 = ref.ref_dynamic_pc1(fdf["t_sec"].to_numpy(), vxf, vyf)
+        ref.ref_metrics(fdf["t_sec"].to_numpy(), pc1)
+        cpu_fps = n_frames / (time.perf_counter() - t0)
+        print(f"# reference-pipeline cohort denominator: {cpu_fps:.2f} fps",
+              file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"# cohort cv2 denominator unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    fps = total_frames / dt
     print(
         json.dumps(
             {
                 "metric": "cohort end-to-end (flow+PC1+metrics)",
-                "value": round(total_frames / dt, 2),
+                "value": round(fps, 2),
                 "unit": "frames/sec",
-                "vs_baseline": None,
+                "vs_baseline": round(fps / cpu_fps, 2) if cpu_fps else None,
+                "cpu_fps": round(cpu_fps, 2) if cpu_fps else None,
+                "cpu_videos": 1,
                 "videos": n_videos,
             }
         )

@@ -157,6 +157,21 @@ class FarnebackParams:
     # overflowed once (the unrolled tap slices multiply live
     # temporaries ~5x the nominal scratch).
     warp_dma_slots: int = 2
+    # ROI-aware dispatch (round 5; VERDICT r4 #2).  The reference
+    # consumes flow ONLY inside the ROI polygon (optical_flow.py:
+    # 185-187), and flow at an ROI pixel depends on a bounded halo
+    # (winsize x iterations + resize support per level).  When set,
+    # entry k is the inclusive-exclusive PIXEL box
+    # (y_lo, y_hi, x_lo, x_hi) that level k's warp/solve/dual passes
+    # must compute (ROI ⊕ halo, precomputed by models.flow.
+    # roi_dispatch_params); tiles outside it are never dispatched —
+    # their flow keeps the level's init (finite, never consumed by the
+    # ROI reduction).  Polynomial expansion stays full-frame (the warp
+    # band may read r1 up to warp_base_max away).  EPE inside the ROI
+    # is unchanged (gated by tests); clip counting covers the
+    # dispatched region.  None = full-frame (library default — every
+    # pixel of the returned flow is meaningful).
+    roi_active_px: Optional[Tuple[Tuple[int, int, int, int], ...]] = None
     # Geometry dead ends, measured 2026-08-18 (so nobody re-tries them):
     # 64-row warp tiles ran 2.8x SLOWER end to end (183 vs 508 pairs/s
     # — taller tiles do not amortize the per-tile fixed cost on this

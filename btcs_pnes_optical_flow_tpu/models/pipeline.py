@@ -163,6 +163,19 @@ def run_flow_stage(
     masks_dev = jnp.asarray(roi_masks)
     n_roi = len(roi_polygons)
 
+    # ROI-aware dispatch (VERDICT r4 #2): this stage consumes flow ONLY
+    # through the ROI means (reference optical_flow.py:185-187), so the
+    # TPU fused driver skips tiles that cannot influence any ROI pixel.
+    # ROI-mean semantics are unchanged (the active box carries the full
+    # analysis halo; gated by tests/test_fused_driver.py); the exact
+    # engine and CPU paths ignore the boxes.
+    if config.flow.roi_active_px is None:
+        from btcs_pnes_optical_flow_tpu.ops.farneback_fused import roi_dispatch_params
+
+        config = dataclasses.replace(
+            config, flow=roi_dispatch_params(config.flow, h, w, roi_masks)
+        )
+
     store = None
     if checkpoint_dir is not None:
         from btcs_pnes_optical_flow_tpu.dataio.checkpoint import ChunkStore

@@ -41,6 +41,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from btcs_pnes_optical_flow_tpu.config import FarnebackParams
 from btcs_pnes_optical_flow_tpu.ops import cvx
@@ -119,8 +120,36 @@ def _fused_level_loop(polys_of_level, n: int, h: int, w: int,
                 mode="edge",
             )
 
-        n_i = ht // _TH
-        n_j = wt // tw_k
+        # ROI-aware dispatch (config.FarnebackParams.roi_active_px):
+        # quantize this level's active pixel box to its warp lattice;
+        # warp/solve/dual passes run compact over the active subgrid
+        # and the rest of the grid keeps the level's init flow (finite;
+        # never consumed by the ROI reduction — the box includes the
+        # full analysis halo).
+        act = None
+        if params.roi_active_px is not None and k < len(params.roi_active_px):
+            y_lo, y_hi, x_lo, x_hi = params.roi_active_px[k]
+            ai0 = min(max(0, y_lo // _TH), ht // _TH - 1)
+            ai1 = max(ai0 + 1, min(ht // _TH, -(-y_hi // _TH)))
+            aj0 = min(max(0, x_lo // tw_k), wt // tw_k - 1)
+            aj1 = max(aj0 + 1, min(wt // tw_k, -(-x_hi // tw_k)))
+            if (ai1 - ai0) * (aj1 - aj0) < (ht // _TH) * (wt // tw_k):
+                act = (ai0, ai1, aj0, aj1)
+        if act is not None:
+            ai0, ai1, aj0, aj1 = act
+            flow_full = flow
+            flow = flow[:, :, ai0 * _TH : ai1 * _TH, aj0 * tw_k : aj1 * tw_k]
+            # True-image extent inside the compact subgrid (solve
+            # border replicate starts there).
+            hk_s = min(hk, ai1 * _TH) - ai0 * _TH
+            wk_s = min(wk, aj1 * tw_k) - aj0 * tw_k
+            grid_s = ((ai1 - ai0) * _TH, (aj1 - aj0) * tw_k)
+            n_i = ai1 - ai0
+            n_j = aj1 - aj0
+        else:
+            hk_s, wk_s, grid_s = hk, wk, (ht, wt)
+            n_i = ht // _TH
+            n_j = wt // tw_k
         n_s_full = 2 * d_x + 2
         n_s1 = min(s_cap, n_s_full) if s_cap else n_s_full
         n_passes = params.warp_dual_passes if params.warp_dual_frac > 0 else 0
@@ -135,6 +164,7 @@ def _fused_level_loop(polys_of_level, n: int, h: int, w: int,
                 r1_offset=r1_offset,
                 tw=tw_k,
                 n_slots=params.warp_dma_slots,
+                active=act,
                 interpret=interpret,
             )
             if n_passes:
@@ -177,6 +207,7 @@ def _fused_level_loop(polys_of_level, n: int, h: int, w: int,
                         precision=params.warp_precision,
                         r1_offset=r1_offset,
                         tw=tw_k,
+                        active=act,
                         interpret=interpret,
                     )
                     u = u.at[sel].set(clip_k)
@@ -191,9 +222,17 @@ def _fused_level_loop(polys_of_level, n: int, h: int, w: int,
             else:
                 clip_pair = jnp.sum(clip, axis=(1, 2))
             clip_total = clip_total + clip_pair
-            mp = pad_for_solve(m, hk, wk, grid=(ht, wt))
+            mp = pad_for_solve(m, hk_s, wk_s, grid=grid_s)
             flow = update_flow_fused_cf(
-                mp, hk, wk, params.winsize, params.gaussian_win, interpret=interpret
+                mp, hk_s, wk_s, params.winsize, params.gaussian_win,
+                interpret=interpret
+            )
+        if act is not None:
+            # Re-embed the refined subgrid into the full-lattice flow
+            # (the rest keeps the init): the next level's upsample and
+            # the final output read a full grid.
+            flow = jax.lax.dynamic_update_slice(
+                flow_full, flow, (0, 0, ai0 * _TH, aj0 * tw_k)
             )
         hk_prev, wk_prev = hk, wk
 
@@ -211,13 +250,65 @@ def _transposed_params(params: FarnebackParams) -> FarnebackParams:
     import dataclasses
 
     cr = params.warp_coarse_reach
+    rap = params.roi_active_px
     return dataclasses.replace(
         params,
         warp_layout="native",
         warp_d_max_y=params.warp_d_max_x,
         warp_d_max_x=params.warp_d_max_y,
         warp_coarse_reach=(cr[1], cr[0], cr[2]) if cr is not None else None,
+        roi_active_px=tuple(
+            (x_lo, x_hi, y_lo, y_hi) for (y_lo, y_hi, x_lo, x_hi) in rap
+        ) if rap is not None else None,
     )
+
+
+def roi_dispatch_params(
+    params: FarnebackParams, h: int, w: int, roi_masks
+) -> FarnebackParams:
+    """FarnebackParams with per-level ROI-active boxes (VERDICT r4 #2).
+
+    The reference consumes flow ONLY inside the ROI polygon
+    (optical_flow.py:185-187, np.nanmean over roi_mask), so tiles that
+    cannot influence any ROI pixel need not be dispatched.  Flow at a
+    pixel depends on a bounded neighborhood: each solve iteration
+    extends influence by winsize//2 (the window sum), and each
+    coarser level feeds the finer level's init through a bilinear
+    resize (2 px support).  Working fine→coarse:
+
+        need(0)  = ROI bounding box
+        box(k)   = need(k) ⊕ (iters_at(k)·(winsize//2) + 10)
+        need(k+1)= box(k)/2 ⊕ 2
+
+    box(k) is stored in ``roi_active_px`` (image y/x order; the
+    transposed driver swaps it) and quantized to each level's warp
+    lattice at trace time.  EPE inside the ROI is unchanged — the
+    boundary strips that see replicated/init values lie outside
+    need(k) by construction (differentially gated in
+    tests/test_fused_driver.py).
+
+    roi_masks: (R, H, W) or (H, W) bool array-like.
+    """
+    import dataclasses
+
+    m = np.asarray(roi_masks)
+    if m.ndim == 2:
+        m = m[None]
+    any_mask = m.any(axis=0)
+    ys, xs = np.nonzero(any_mask)
+    if ys.size == 0:
+        return params
+    need = (int(ys.min()), int(ys.max()) + 1, int(xs.min()), int(xs.max()) + 1)
+    boxes = []
+    for k in range(params.num_levels(h, w) + 1):
+        halo = params.iters_at(k) * (params.winsize // 2) + 10
+        box = (need[0] - halo, need[1] + halo, need[2] - halo, need[3] + halo)
+        boxes.append(box)
+        need = (
+            box[0] // 2 - 2, -(-box[1] // 2) + 2,
+            box[2] // 2 - 2, -(-box[3] // 2) + 2,
+        )
+    return dataclasses.replace(params, roi_active_px=tuple(boxes))
 
 
 def _band_dtype(params: FarnebackParams):

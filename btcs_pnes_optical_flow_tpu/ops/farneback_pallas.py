@@ -30,7 +30,7 @@ gather-based path (ops/farneback.py) remains available as
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -249,8 +249,17 @@ def _make_kernel(
     tps_i: int = 1,
     tps_j: int = 1,
     band_dtype=jnp.float32,
+    i_off: int = 0,
+    j_off: int = 0,
 ):
     """Build the fused warp+update kernel for static shapes.
+
+    i_off/j_off: static tile offsets of the dispatched subgrid on the
+    full warp lattice (ROI-aware dispatch): the grid and all block-
+    indexed refs (flow, M, scalars) are compact over the ACTIVE tiles,
+    while global pixel coordinates and the r0/r1 addressing add the
+    offsets.  (0, 0) with the full grid is the classic full-frame
+    dispatch.
 
     h, w: true image size.  hp, wp: padded size of r1 (pad_y/pad_x on
     the leading side of each axis).  The flow/r0/M arrays use
@@ -323,8 +332,14 @@ def _make_kernel(
             rest = flat_idx // n_j
             ti_ = rest % n_i
             bb_ = rest // n_i
-            row0_ = jnp.clip(ti_ * th + by_ref[flat_idx] - d_max_y + pad_y, 0, hp - band_h)
-            col0_ = jnp.clip(tj_ * tw + bx_ref[flat_idx] - d_max_x + pad_x, 0, wp - band_w)
+            row0_ = jnp.clip(
+                (ti_ + i_off) * th + by_ref[flat_idx] - d_max_y + pad_y,
+                0, hp - band_h,
+            )
+            col0_ = jnp.clip(
+                (tj_ + j_off) * tw + bx_ref[flat_idx] - d_max_x + pad_x,
+                0, wp - band_w,
+            )
             row0a_ = pl.multiple_of((row0_ // 8) * 8, 8)
             col0a_ = pl.multiple_of((col0_ // 128) * 128, 128)
             return bb_, row0_, col0_, row0a_, col0a_
@@ -366,8 +381,8 @@ def _make_kernel(
             sti, stj = divmod(st, tps_j)
             ti = tig * tps_i + sti
             tj = tjg * tps_j + stj
-            y0g = ti * th
-            x0g = tj * tw
+            y0g = (ti + i_off) * th
+            x0g = (tj + j_off) * tw
             flat_idx = step_tile(step, st)
             rsl = slice(sti * th, (sti + 1) * th)
             sl = slice(stj * tw, (stj + 1) * tw)
@@ -554,6 +569,7 @@ def update_matrices_banded_cf(
     th: int = _TH,
     tw: int = _TW,
     n_slots: int = 2,
+    active: Optional[Tuple[int, int, int, int]] = None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Channel-first banded warp + normal-equation update (Pallas).
@@ -586,7 +602,20 @@ def update_matrices_banded_cf(
     wt = -(-w // tw) * tw
     pad_y = base_max + d_max_y + 2
     pad_x = base_max + d_max_x + 2
-    for name, arr, hh, ww in (("r0_cf", r0_cf, ht, wt), ("flow_cf", flow_cf, ht, wt)):
+    # ROI-aware dispatch: with ``active`` = (i0, i1, j0, j1) tile
+    # ranges on the (th, tw) lattice, the grid and the flow/M/scalar
+    # arrays are compact over the active subgrid; r0 stays full-grid
+    # (block index maps add the offsets) and r1p is addressed globally.
+    if active is None:
+        i0, i1, j0, j1 = 0, ht // th, 0, wt // tw
+    else:
+        i0, i1, j0, j1 = active
+    n_i = i1 - i0
+    n_j = j1 - j0
+    for name, arr, hh, ww in (
+        ("r0_cf", r0_cf, ht, wt),
+        ("flow_cf", flow_cf, n_i * th, n_j * tw),
+    ):
         if arr.shape[-2] % th or arr.shape[-1] % tw or arr.shape[-2] < hh or arr.shape[-1] < ww:
             raise ValueError(
                 f"{name} spatial dims {arr.shape[-2:]} must be multiples of "
@@ -594,26 +623,32 @@ def update_matrices_banded_cf(
             )
     hp, wp = r1p.shape[-2], r1p.shape[-1]
 
-    n_i = ht // th
-    n_j = wt // tw
     band_dtype = r1p.dtype
     band_h0, band_w0 = _band_dims(d_max_y, d_max_x, th, tw, band_dtype=band_dtype)
-    tps_i, tps_j = warp_tiles_per_step(
-        n_i, n_j, band_h0, band_w0, th, tw, n_slots,
-        band_bytes=jnp.dtype(band_dtype).itemsize,
-    )
+    if active is None:
+        tps_i, tps_j = warp_tiles_per_step(
+            n_i, n_j, band_h0, band_w0, th, tw, n_slots,
+            band_bytes=jnp.dtype(band_dtype).itemsize,
+        )
+    else:
+        # ROI subgrids pin tps at the production (1, 1) operating point
+        # (the merged-step path is a measured dead end, and subgrid
+        # offsets need not be divisible by a merge factor).
+        tps_i = tps_j = 1
     tps = tps_i * tps_j
     kernel, band_h, band_w = _make_kernel(
         h, w, hp, wp, pad_y, pad_x, d_max_y, d_max_x,
         s_cap=s_cap, precision=precision, r1_offset=r1_offset, s_block=s_block,
         th=th, tw=tw, n_slots=n_slots, tps_i=tps_i, tps_j=tps_j,
-        band_dtype=band_dtype,
+        band_dtype=band_dtype, i_off=i0, j_off=j0,
     )
 
     # Per-tile integer base displacements, precomputed so the kernel's
     # double-buffered pipeline can start tile t+1's band DMA during
-    # tile t's compute (bases arrive via scalar prefetch).
-    ftiles = flow_cf[:, :, :ht, :wt].reshape(b, 2, n_i, th, n_j, tw)
+    # tile t's compute (bases arrive via scalar prefetch).  flow_cf is
+    # compact over the active subgrid, so this covers exactly the
+    # dispatched tiles.
+    ftiles = flow_cf[:, :, : n_i * th, : n_j * tw].reshape(b, 2, n_i, th, n_j, tw)
     bases = jnp.round(jnp.mean(ftiles, axis=(3, 5))).astype(jnp.int32)
     bases = jnp.clip(bases, -base_max, base_max)
     bx_flat = bases[:, 0].reshape(-1)
@@ -628,10 +663,14 @@ def update_matrices_banded_cf(
             memory_space=pltpu.SMEM,
         )
 
+    # Tile offsets of the active subgrid in block units (r0 is
+    # full-grid; flow/M/scalars are compact).  tps is (1, 1) whenever
+    # active is set, so the block-unit offsets equal the tile offsets.
+    oi, oj = i0 // tps_i, j0 // tps_j
     out, clip, smin_t, rmdy, rmdx = pl.pallas_call(
         functools.partial(kernel, n_i=n_i, n_j=n_j),
         out_shape=(
-            jax.ShapeDtypeStruct((b, 5, ht, wt), jnp.float32),
+            jax.ShapeDtypeStruct((b, 5, n_i * th, n_j * tw), jnp.float32),
             jax.ShapeDtypeStruct((b, n_i, n_j), jnp.int32),
             jax.ShapeDtypeStruct((b, n_i, n_j), jnp.int32),
             jax.ShapeDtypeStruct((b, n_i, n_j), jnp.int32),
@@ -643,7 +682,7 @@ def update_matrices_banded_cf(
             in_specs=[
                 pl.BlockSpec(
                     (1, 5, th * tps_i, tw * tps_j),
-                    lambda bb, i, j, *refs: (bb, 0, i, j),
+                    lambda bb, i, j, *refs: (bb, 0, i + oi, j + oj),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
@@ -767,8 +806,14 @@ def _make_kernel2(
     th: int = _TH,
     tw: int = _TW,
     band_dtype=jnp.float32,
+    i_off: int = 0,
+    j_off: int = 0,
 ):
     """Follow-up-window warp kernel over a compacted tile list.
+
+    i_off/j_off: tile offsets of the ROI-active subgrid (see
+    _make_kernel) — sel ids, flow and m1 are compact over it; global
+    pixel coordinates and r1 addressing add the offsets.
 
     prev_n_s: static slot-window widths of the previous passes, oldest
     first — their coverage is re-derived per pixel from the prefetched
@@ -797,8 +842,14 @@ def _make_kernel2(
             rest = flat_idx // n_j
             ti_ = rest % n_i
             bb_ = rest // n_i
-            row0_ = jnp.clip(ti_ * th + by_ref[flat_idx] - d_max_y + pad_y, 0, hp - band_h)
-            col0_ = jnp.clip(tj_ * tw + bx_ref[flat_idx] - d_max_x + pad_x, 0, wp - band_w)
+            row0_ = jnp.clip(
+                (ti_ + i_off) * th + by_ref[flat_idx] - d_max_y + pad_y,
+                0, hp - band_h,
+            )
+            col0_ = jnp.clip(
+                (tj_ + j_off) * tw + bx_ref[flat_idx] - d_max_x + pad_x,
+                0, wp - band_w,
+            )
             row0a_ = pl.multiple_of((row0_ // 8) * 8, 8)
             col0a_ = pl.multiple_of((col0_ // 128) * 128, 128)
             return bb_, ti_, tj_, row0_, col0_, row0a_, col0a_
@@ -826,8 +877,8 @@ def _make_kernel2(
 
         flat_idx = sel_ref[step]
         _, ti, tj, row0, col0, row0a, col0a = tile_geometry(flat_idx)
-        y0g = ti * th
-        x0g = tj * tw
+        y0g = (ti + i_off) * th
+        x0g = (tj + j_off) * tw
         m_col = col0 - col0a
         band = band2[cur]
         fx = flow_ref[0, 0]
@@ -986,6 +1037,7 @@ def update_matrices_banded_tiles_cf(
     r1_offset: int = 0,
     th: int = _TH,
     tw: int = _TW,
+    active: Optional[Tuple[int, int, int, int]] = None,
     interpret: bool = False,
 ):
     """One follow-up window pass over the K tiles listed in ``sel``.
@@ -1008,8 +1060,17 @@ def update_matrices_banded_tiles_cf(
     pad_y = base_max + d_max_y + 2
     pad_x = base_max + d_max_x + 2
     hp, wp = r1p.shape[-2], r1p.shape[-1]
-    n_i = ht // th
-    n_j = wt // tw
+    # ROI-aware dispatch: sel ids / flow / m1 are compact over the
+    # active (i0, i1, j0, j1) subgrid; r0 stays full-grid (offset
+    # block maps) and r1p is addressed globally (see _make_kernel).
+    if active is None:
+        i0, j0 = 0, 0
+        n_i = ht // th
+        n_j = wt // tw
+    else:
+        i0, i1, j0, j1 = active
+        n_i = i1 - i0
+        n_j = j1 - j0
     k = sel.shape[0]
     by_c, bx_c, smin_c = cur_window
     prev_arrays = []
@@ -1022,6 +1083,7 @@ def update_matrices_banded_tiles_cf(
         h, w, hp, wp, pad_y, pad_x, d_max_y, d_max_x,
         prev_n_s=tuple(prev_n_s), s_cap=s_cap, precision=precision,
         r1_offset=r1_offset, th=th, tw=tw, band_dtype=r1p.dtype,
+        i_off=i0, j_off=j0,
     )
 
     def tile_of(step, sel_ref, *rest):
@@ -1032,13 +1094,13 @@ def update_matrices_banded_tiles_cf(
         bb = rest_ // n_i
         return bb, ti, tj
 
-    def dyn_spec(nc):
+    def dyn_spec(nc, oi=0, oj=0):
         return pl.BlockSpec(
             (1, nc, th, tw),
             lambda s, *refs: (
                 tile_of(s, *refs)[0], 0,
-                tile_of(s, *refs)[1],
-                tile_of(s, *refs)[2],
+                tile_of(s, *refs)[1] + oi,
+                tile_of(s, *refs)[2] + oj,
             ),
             memory_space=pltpu.VMEM,
         )
@@ -1047,7 +1109,7 @@ def update_matrices_banded_tiles_cf(
     out, clip, rmdy, rmdx = pl.pallas_call(
         functools.partial(kernel, n_i=n_i, n_j=n_j, total=k),
         out_shape=(
-            jax.ShapeDtypeStruct((b, 5, ht, wt), jnp.float32),
+            jax.ShapeDtypeStruct((b, 5, n_i * th, n_j * tw), jnp.float32),
             jax.ShapeDtypeStruct((k,), jnp.int32),
             jax.ShapeDtypeStruct((k,), jnp.int32),
             jax.ShapeDtypeStruct((k,), jnp.int32),
@@ -1056,9 +1118,9 @@ def update_matrices_banded_tiles_cf(
             num_scalar_prefetch=n_scalar,
             grid=(k,),
             in_specs=[
-                dyn_spec(5),   # r0
-                dyn_spec(2),   # flow
-                dyn_spec(5),   # m1 (aliased to the merged output)
+                dyn_spec(5, oi=i0, oj=j0),   # r0 (full-grid)
+                dyn_spec(2),   # flow (compact)
+                dyn_spec(5),   # m1 (compact; aliased to the merged output)
                 pl.BlockSpec(memory_space=pl.ANY),  # full r1, DMA'd per tile
             ],
             out_specs=(

@@ -21,7 +21,6 @@ import jax.numpy as jnp
 from btcs_pnes_optical_flow_tpu.config import FarnebackParams
 from btcs_pnes_optical_flow_tpu.ops import cvx
 from btcs_pnes_optical_flow_tpu.ops.farneback import _level_image
-from btcs_pnes_optical_flow_tpu.ops.farneback_fused import _transposed_params
 from btcs_pnes_optical_flow_tpu.ops.farneback_pallas import (
     _TH,
     pad_for_band,
@@ -33,7 +32,14 @@ from btcs_pnes_optical_flow_tpu.ops.farneback_pallas import (
 )
 
 B = 256
-H, W = 640, 480   # transposed layout (the production fast path)
+# NATIVE layout, the production fast path: config.FarnebackParams
+# defaults to warp_layout="native" (transposed measured 131 vs 463
+# pairs/s — config.py:76-84), so the kernels see (H, W) = (480, 640):
+# sublane axis = image y (15 32-row tiles at L0), lane axis = image x
+# (768 padded lanes, 3 256-lane columns).  An earlier revision of this
+# script profiled (640, 480) + _transposed_params — a 20x2 grid the
+# production program never runs.
+H, W = 480, 640
 REPS = 3
 
 
@@ -71,10 +77,10 @@ def main():
     print("backend:", jax.default_backend(), flush=True)
     import dataclasses
 
-    p = _transposed_params(
-        dataclasses.replace(FarnebackParams(), warp_precision="bf16")
-    )
-    frames = jnp.asarray(render(B + 1, H, W))  # already transposed shape
+    # Production bench knobs, native layout (no _transposed_params —
+    # see the H, W note above).
+    p = dataclasses.replace(FarnebackParams(), warp_precision="bf16")
+    frames = jnp.asarray(render(B + 1, H, W))
     f_all = frames.astype(jnp.float32)
     force(f_all)
 

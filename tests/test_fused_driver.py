@@ -242,3 +242,45 @@ def test_iter_schedule_and_coarse_reach_match_exact(rng):
         farneback_flow(p, c, FarnebackParams(warp_engine="exact"))
     )
     assert np.abs(ref_full - ref).max() > 1e-6
+
+
+def test_roi_dispatch_matches_full_inside_roi(rng):
+    """ROI-aware dispatch (roi_dispatch_params / roi_active_px): tiles
+    outside ROI ⊕ halo are never dispatched, and the flow INSIDE the
+    ROI bounding box must be bit-equal to the full-frame dispatch —
+    the active box includes every iteration's winsize-window reach, so
+    the boundary strips that see replicated/init values cannot
+    influence any ROI pixel (VERDICT r4 #2)."""
+    from btcs_pnes_optical_flow_tpu.ops.farneback_fused import roi_dispatch_params
+
+    h, w = 192, 300
+    frames = _textured_frames(rng, 3, h, w)
+    p = FarnebackParams(
+        levels=2, iterations=2, winsize=7, warp_d_max_y=4, warp_d_max_x=4,
+        warp_s_cap=4, warp_base_max=24,
+    )
+    mask = np.zeros((h, w), bool)
+    mask[80:110, 60:240] = True
+    p_roi = roi_dispatch_params(p, h, w, mask)
+    assert p_roi.roi_active_px is not None
+    # The level-0 box must be a strict subset of the frame (otherwise
+    # this test exercises nothing).
+    y_lo, y_hi, x_lo, x_hi = p_roi.roi_active_px[0]
+    assert y_lo > 0 or y_hi < h
+
+    full, clips_f = farneback_flow_fused(
+        jnp.asarray(frames[:-1]), jnp.asarray(frames[1:]), p,
+        return_clip=True, interpret=True,
+    )
+    roi, clips_r = farneback_flow_fused(
+        jnp.asarray(frames[:-1]), jnp.asarray(frames[1:]), p_roi,
+        return_clip=True, interpret=True,
+    )
+    full = np.asarray(full)
+    roi = np.asarray(roi)
+    np.testing.assert_array_equal(
+        roi[:, 80:110, 60:240], full[:, 80:110, 60:240]
+    )
+    # Flow everywhere stays finite (init outside the active box).
+    assert np.isfinite(roi).all()
+    assert int(np.asarray(clips_r).sum()) == 0, "clean translation must not clip"
