@@ -113,7 +113,12 @@ def _fused_level_loop(polys_of_level, n: int, h: int, w: int,
             f0 = flow0 if params.use_initial_flow else None
             flow = _init_flow_cf(n, hk, wk, ht, wt, params.pyr_scale**k, f0)
         else:
-            fr = cvx.resize_bilinear(flow[:, :, :hk_prev, :wk_prev], hk, wk)
+            # Matmul-form resize: bit-equal to the gather formulation
+            # at HIGHEST precision (cvx.resize_bilinear_mm docstring),
+            # measured faster at this batch, and removes a general
+            # gather from the hot program.  Flow is finite everywhere
+            # by construction (the mm form's NaN caveat is moot).
+            fr = cvx.resize_bilinear_mm(flow[:, :, :hk_prev, :wk_prev], hk, wk)
             flow = jnp.pad(
                 fr * inv_scale,
                 ((0, 0), (0, 0), (0, ht - hk), (0, wt - wk)),
@@ -178,47 +183,70 @@ def _fused_level_loop(polys_of_level, n: int, h: int, w: int,
                 kk = min(
                     total_tiles, max(1, math.ceil(total_tiles * params.warp_dual_frac))
                 )
-                u = clip.reshape(total_tiles)
-                mdy = rmdy.reshape(total_tiles)
-                mdx = rmdx.reshape(total_tiles)
-                prev = [(
-                    bases1[:, 1].reshape(total_tiles),
-                    bases1[:, 0].reshape(total_tiles),
-                    smin1.reshape(total_tiles),
-                    jnp.ones((total_tiles,), jnp.int32),
-                    n_s1,
-                )]
-                for _p in range(n_passes):
-                    _, sel = jax.lax.top_k(u, kk)
-                    sel = sel.astype(jnp.int32)
-                    cur = window_from_residuals(
-                        mdy, mdx,
-                        d_y, d_x,
-                        params.warp_base_max, n_s1,
-                    )
-                    m, clip_k, rmdy_k, rmdx_k = update_matrices_banded_tiles_cf(
-                        sel, m, r0_cf, flow, r1p, hk, wk,
-                        cur_window=cur,
-                        prev_windows=prev,
-                        d_max_y=d_y,
-                        d_max_x=d_x,
-                        base_max=params.warp_base_max,
-                        s_cap=n_s1,
-                        precision=params.warp_precision,
-                        r1_offset=r1_offset,
-                        tw=tw_k,
-                        active=act,
-                        interpret=interpret,
-                    )
-                    u = u.at[sel].set(clip_k)
-                    mdy = mdy.at[sel].set(rmdy_k)
-                    mdx = mdx.at[sel].set(rmdx_k)
-                    prev.append((
-                        cur[0], cur[1], cur[2],
-                        jnp.zeros((total_tiles,), jnp.int32).at[sel].set(1),
+                u0 = clip.reshape(total_tiles)
+                mdy0 = rmdy.reshape(total_tiles)
+                mdx0 = rmdx.reshape(total_tiles)
+
+                def run_passes(args):
+                    m, u, mdy, mdx = args
+                    prev = [(
+                        bases1[:, 1].reshape(total_tiles),
+                        bases1[:, 0].reshape(total_tiles),
+                        smin1.reshape(total_tiles),
+                        jnp.ones((total_tiles,), jnp.int32),
                         n_s1,
-                    ))
-                clip_pair = jnp.sum(u.reshape(n, n_i * n_j), axis=1)
+                    )]
+                    for _p in range(n_passes):
+                        _, sel = jax.lax.top_k(u, kk)
+                        sel = sel.astype(jnp.int32)
+                        cur = window_from_residuals(
+                            mdy, mdx,
+                            d_y, d_x,
+                            params.warp_base_max, n_s1,
+                        )
+                        m, clip_k, rmdy_k, rmdx_k = update_matrices_banded_tiles_cf(
+                            sel, m, r0_cf, flow, r1p, hk, wk,
+                            cur_window=cur,
+                            prev_windows=prev,
+                            d_max_y=d_y,
+                            d_max_x=d_x,
+                            base_max=params.warp_base_max,
+                            s_cap=n_s1,
+                            precision=params.warp_precision,
+                            r1_offset=r1_offset,
+                            tw=tw_k,
+                            active=act,
+                            interpret=interpret,
+                        )
+                        u = u.at[sel].set(clip_k)
+                        mdy = mdy.at[sel].set(rmdy_k)
+                        mdx = mdx.at[sel].set(rmdx_k)
+                        prev.append((
+                            cur[0], cur[1], cur[2],
+                            jnp.zeros((total_tiles,), jnp.int32).at[sel].set(1),
+                            n_s1,
+                        ))
+                    return m, jnp.sum(u.reshape(n, n_i * n_j), axis=1)
+
+                def skip_passes(args):
+                    m, u, _mdy, _mdx = args
+                    return m, jnp.sum(u.reshape(n, n_i * n_j), axis=1)
+
+                if interpret:
+                    # Interpret mode always runs the passes (lax.cond's
+                    # kernels-in-branches path is hardware-only here,
+                    # and tests must cover the pass machinery).
+                    m, clip_pair = run_passes((m, u0, mdy0, mdx0))
+                else:
+                    # On the clean-envelope path (every recorded bench:
+                    # zero clips) the passes are numerically identity
+                    # (a follow-up window on a fully-covered tile keeps
+                    # m1 everywhere), so the top_k + K-tile kernels are
+                    # dispatched only when something actually clipped.
+                    m, clip_pair = jax.lax.cond(
+                        jnp.sum(u0) > 0, run_passes, skip_passes,
+                        (m, u0, mdy0, mdx0),
+                    )
             else:
                 clip_pair = jnp.sum(clip, axis=(1, 2))
             clip_total = clip_total + clip_pair

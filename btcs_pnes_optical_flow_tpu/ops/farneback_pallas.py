@@ -155,6 +155,16 @@ def pad_for_band(
     DMA bytes; the warp kernels upcast after the copy, so the sampled
     values equal the f32-band bf16-MAC path bit-for-bit (rounding
     happens at the same place either way).
+
+    The pad region is CONSTANT ZERO, not edge-replicate (round 5):
+    the warp kernels never consume pad values — pixels whose floor
+    corner leaves the image fail the ``inside`` guard and fall back to
+    the r0-only border terms (discarding their accumulated samples),
+    and in-window pixels' (t_idx, s_idx) weights select true-image
+    rows/cols only — so any finite fill is equivalent, and a constant
+    pad is ONE fused XLA op where the edge pad lowered to a
+    concatenation chain that cost more than the poly expansion itself
+    (67.75 ms vs 30.32 ms per 257-frame L0 call, 2026-08-21 ledger).
     """
     if dtype is not None and r1_cf.dtype != dtype:
         r1_cf = r1_cf.astype(dtype)
@@ -167,7 +177,7 @@ def pad_for_band(
     pad_bottom = max(0, ht - th + base_max - d_max_y + band_h + 2 - h0)
     pad_right = max(0, wt - tw + base_max - d_max_x + band_w + 2 - w0)
     return jnp.pad(
-        r1_cf, ((0, 0), (0, 0), (pad_y, pad_bottom), (pad_x, pad_right)), mode="edge"
+        r1_cf, ((0, 0), (0, 0), (pad_y, pad_bottom), (pad_x, pad_right))
     )
 
 
@@ -1598,8 +1608,17 @@ def poly_exp_fused(
 
 
 def _flow_kernel_factory(weights, winsize: int, th: int, tw: int,
-                         n_slots: int = 2):
-    """Box or Gaussian window sum over the 5 M planes + per-pixel solve."""
+                         n_slots: int = 2, border=None):
+    """Box or Gaussian window sum over the 5 M planes + per-pixel solve.
+
+    border: (h, w) true image extent when mp's halo is CONSTANT-ZERO
+    (the round-5 pad_for_solve) — the kernel replicates the true border
+    rows/cols into the visible pad region of each band before summing,
+    reproducing the edge-pad semantics in VMEM instead of re-writing
+    the whole M through HBM (the edge-mode jnp.pad cost 31 ms per L0
+    iteration — more than the window solve itself).  None = bands used
+    as DMA'd (legacy edge-padded mp).
+    """
     wl = [float(v) for v in weights]
     half = winsize // 2
     band_h = th + 16
@@ -1644,11 +1663,61 @@ def _flow_kernel_factory(weights, winsize: int, th: int, tw: int,
         band_dma(idx, cur).wait()
         band = band2[cur]
 
+        if border is not None:
+            hh, ww = border
+            ri = jax.lax.broadcasted_iota(jnp.int32, (band_h, band_w), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (band_h, band_w), 1)
+            # Band rows of the first pad row for the q-th-from-last
+            # tile row (and analogously pad cols): every tile whose
+            # band can see the zero halo gets a static replicate mask.
+            bot_fixes = []
+            q = 1
+            while n_i - q >= 0 and hh + 8 - (n_i - q) * th < band_h:
+                bot_fixes.append((n_i - q, hh + 8 - (n_i - q) * th))
+                q += 1
+            rt_fixes = []
+            q = 1
+            while n_j - q >= 0 and ww + 128 - (n_j - q) * tw < band_w:
+                rt_fixes.append((n_j - q, ww + 128 - (n_j - q) * tw))
+                q += 1
+
+        def fix_borders(bc):
+            """Replicate true border rows/cols into the zero halo —
+            rows first, then cols, so corners get the corner pixel."""
+            if border is None:
+                return bc
+            out = jnp.where(
+                (ti == 0) & (ri < 8),
+                jnp.broadcast_to(bc[8:9, :], (band_h, band_w)), bc,
+            )
+            for (tile_i, bot) in bot_fixes:
+                if bot < 1:
+                    continue
+                out = jnp.where(
+                    (ti == tile_i) & (ri >= bot),
+                    jnp.broadcast_to(out[bot - 1 : bot, :], (band_h, band_w)),
+                    out,
+                )
+            out = jnp.where(
+                (tj == 0) & (ci < 128),
+                jnp.broadcast_to(out[:, 128:129], (band_h, band_w)), out,
+            )
+            for (tile_j, rt) in rt_fixes:
+                if rt < 1:
+                    continue
+                out = jnp.where(
+                    (tj == tile_j) & (ci >= rt),
+                    jnp.broadcast_to(out[:, rt - 1 : rt], (band_h, band_w)),
+                    out,
+                )
+            return out
+
         sums = []
         for c in range(5):
             v = None
+            bc = fix_borders(band[c])
             for k in range(winsize):
-                sl = band[c, row_off + k : row_off + k + th, :]
+                sl = bc[row_off + k : row_off + k + th, :]
                 v = sl * wl[k] if v is None else v + sl * wl[k]
             hsum = None
             for k in range(winsize):
@@ -1699,7 +1768,7 @@ def update_flow_fused_cf(
         raise ValueError(f"mp spatial dims {mp.shape[-2:]} must be (ht+16, wt+256)")
     th, tw = plane_tiles(ht, wt, channels=5)
     kernel, band_h, band_w = _flow_kernel_factory(
-        weights, winsize, th, tw, n_slots=n_slots
+        weights, winsize, th, tw, n_slots=n_slots, border=(h, w)
     )
     n_i = ht // th
     n_j = wt // tw
@@ -1724,12 +1793,18 @@ def update_flow_fused_cf(
 
 
 def pad_for_solve(m_cf: jnp.ndarray, h: int, w: int, grid=None) -> jnp.ndarray:
-    """Edge-replicate the true [:h, :w] grid of channel-first M into the
+    """Zero-pad the true [:h, :w] grid of channel-first M into the
     (8, 128)-haloed, grid-padded layout update_flow_fused_cf expects.
     One fused slice+pad — the only per-iteration HLO glue left on the
     hot path.  ``grid``: target (ht, wt) — usually the warp grid, so
     the solve output feeds the next warp iteration with zero re-padding;
-    None falls back to the legacy (_TH_P, _TW_P) lattice."""
+    None falls back to the legacy (_TH_P, _TW_P) lattice.
+
+    Round 5: the halo is CONSTANT ZERO (one XLA Pad op, 8.4 ms at the
+    L0 chunk vs 31.2 ms for the edge-mode concatenation chain —
+    scripts/probe_pads.py); the border-replicate semantics the window
+    sums need are reproduced in VMEM by the solve kernel's
+    fix_borders (idempotent, so an edge-padded mp is also accepted)."""
     if grid is None:
         ht = -(-h // _TH_P) * _TH_P
         wt = -(-w // _TW_P) * _TW_P
@@ -1738,7 +1813,6 @@ def pad_for_solve(m_cf: jnp.ndarray, h: int, w: int, grid=None) -> jnp.ndarray:
     return jnp.pad(
         m_cf[:, :, :h, :w],
         ((0, 0), (0, 0), (8, 8 + ht - h), (128, 128 + wt - w)),
-        mode="edge",
     )
 
 

@@ -99,20 +99,21 @@ def main():
             f"L{k} poly expansion (257 frames)",
             jax.jit(lambda l, g=(ht, wt): poly_exp_fused_cf(l, p.poly_n, p.poly_sigma, grid=g)),
             lv)
+        del lv  # HBM: the L0 chain at B=256 needs every freed buffer
         t_pb, r1p = timed(
             f"L{k} pad_for_band",
             jax.jit(lambda r, hk=hk, wk=wk, d_y=d_y, d_x=d_x, tw_k=tw_k:
                     pad_for_band(r, hk, wk, d_y, d_x, p.warp_base_max, tw=tw_k)),
             poly)
 
-        # Realistic flow: the bench clip's motion law at this level's
-        # scale (smooth background + moving blob up to ~12 px at L0).
-        rng = np.random.default_rng(k)
+        # Realistic flow: smooth long-wavelength field like the bench
+        # clip's (within-tile spans a few px — the anchored window must
+        # NOT saturate; a clip-storm field inflates the warp row ~3x).
         yy = np.arange(ht, dtype=np.float32)[:, None]
         xx = np.arange(wt, dtype=np.float32)[None, :]
-        mag = 12.0 / 2**k
-        fx = mag * np.sin(xx / 97.0) * np.cos(yy / 61.0)
-        fy = 0.6 * mag * np.cos(xx / 83.0) * np.sin(yy / 71.0)
+        mag = 10.0 / 2**k
+        fx = mag * np.sin(xx / 701.0) * np.cos(yy / 433.0)
+        fy = 0.6 * mag * np.cos(xx / 659.0) * np.sin(yy / 389.0)
         flow = jnp.asarray(
             np.broadcast_to(np.stack([fx, fy])[None], (B, 2, ht, wt)).copy())
         force(flow)
@@ -128,14 +129,17 @@ def main():
         t_w, (m, nclip) = timed(
             f"L{k} warp+update (1 iteration)", jax.jit(warp_fn), poly, flow, r1p)
         print(f"{'':56s} clips={int(np.asarray(nclip))}", flush=True)
+        del poly, r1p  # free before the (m, mp) pair goes live
         t_ps, mp = timed(
             f"L{k} pad_for_solve",
             jax.jit(lambda mm, hk=hk, wk=wk, g=(ht, wt): pad_for_solve(mm, hk, wk, grid=g)),
             m)
+        del m
         t_sv, _fl2 = timed(
             f"L{k} window solve",
             jax.jit(lambda mpa, hk=hk, wk=wk: update_flow_fused_cf(mpa, hk, wk, p.winsize, p.gaussian_win)),
             mp)
+        del mp, _fl2
 
         if k > 0:
             hk2, wk2 = p.level_size(H, W, k - 1)
