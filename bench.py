@@ -521,14 +521,26 @@ def bench_tvl1():
     # the ratio swing 4.8x-7x run to run.  With epsilon=0 both sides
     # run identical iteration schedules and the ratio isolates the
     # warp + pd-chain machinery.
+    # Best-of-3 on BOTH engines (VERDICT r4 #6: the single-repeat
+    # protocol swung 11.07 → 7.8 → 2.21 fps across identical code —
+    # machine-state noise, not TV-L1; best-of-3 bounds it).
+    reps = 3
+
+    def best_of(fn, n):
+        fps = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            force(fn())
+            r = n / (time.perf_counter() - t0)
+            fps = r if fps is None else max(fps, r)
+        return fps
+
     p_banded = TVL1Params(warp_engine="banded", epsilon=0.0)
     fl, clips = tvl1_flow(prev, curr, p_banded, return_clip=True)
     force(fl)  # compile
-    t0 = time.perf_counter()
-    fl, clips = tvl1_flow(prev, curr, p_banded, return_clip=True)
-    force(fl)
-    banded_fps = n_pairs / (time.perf_counter() - t0)
     n_clip = int(np.asarray(clips).sum())
+    banded_fps = best_of(
+        lambda: tvl1_flow(prev, curr, p_banded, return_clip=True)[0], n_pairs)
 
     # Baseline = the all-XLA engine (gather warp + lax-loop pd): the
     # VERDICT r2 #5 bar is vs the *gather-engine* rate, so pin pd_engine
@@ -536,18 +548,14 @@ def bench_tvl1():
     p_exact = TVL1Params(warp_engine="exact", pd_engine="xla", epsilon=0.0)
     n_ex = 4
     force(tvl1_flow(prev[:n_ex], curr[:n_ex], p_exact))  # compile
-    t0 = time.perf_counter()
-    force(tvl1_flow(prev[:n_ex], curr[:n_ex], p_exact))
-    exact_fps = n_ex / (time.perf_counter() - t0)
+    exact_fps = best_of(lambda: tvl1_flow(prev[:n_ex], curr[:n_ex], p_exact), n_ex)
 
     # Transparency: the gather engine at its shipped config (epsilon
     # early exit enabled) — content-dependent, so not the ratio's
     # denominator, but reported alongside it.
     p_ship = TVL1Params(warp_engine="exact", pd_engine="xla")
     force(tvl1_flow(prev[:n_ex], curr[:n_ex], p_ship))  # compile
-    t0 = time.perf_counter()
-    force(tvl1_flow(prev[:n_ex], curr[:n_ex], p_ship))
-    shipped_fps = n_ex / (time.perf_counter() - t0)
+    shipped_fps = best_of(lambda: tvl1_flow(prev[:n_ex], curr[:n_ex], p_ship), n_ex)
 
     print(
         json.dumps(
@@ -585,12 +593,15 @@ if __name__ == "__main__":
             bench_1080p()
         except Exception as e:
             print(f"# 1080p bench failed: {type(e).__name__}: {e}", file=sys.stderr)
-        try:
-            bench_cohort()
-        except Exception as e:
-            print(f"# cohort bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+        # TV-L1 runs BEFORE the cohort: measured 2.21 fps when run
+        # last (post-cohort machine state) vs 11.47 alone — see the
+        # best-of-3 note in bench_tvl1.
         try:
             bench_tvl1()
         except Exception as e:
             print(f"# tvl1 bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+        try:
+            bench_cohort()
+        except Exception as e:
+            print(f"# cohort bench failed: {type(e).__name__}: {e}", file=sys.stderr)
     print(primary_line)

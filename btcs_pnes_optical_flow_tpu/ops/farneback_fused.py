@@ -170,6 +170,7 @@ def _fused_level_loop(polys_of_level, n: int, h: int, w: int,
                 tw=tw_k,
                 n_slots=params.warp_dma_slots,
                 active=act,
+                ghost=True,
                 interpret=interpret,
             )
             if n_passes:
@@ -216,6 +217,7 @@ def _fused_level_loop(polys_of_level, n: int, h: int, w: int,
                             r1_offset=r1_offset,
                             tw=tw_k,
                             active=act,
+                            ghost=True,
                             interpret=interpret,
                         )
                         u = u.at[sel].set(clip_k)
@@ -250,10 +252,14 @@ def _fused_level_loop(polys_of_level, n: int, h: int, w: int,
             else:
                 clip_pair = jnp.sum(clip, axis=(1, 2))
             clip_total = clip_total + clip_pair
-            mp = pad_for_solve(m, hk_s, wk_s, grid=grid_s)
+            # The warp wrote M with a one-tile ghost ring (ghost=True),
+            # so the solve DMAs its haloed bands straight out of M —
+            # the per-iteration pad_for_solve copy (the single largest
+            # row of the round-5 per-op ledger, ~149 ms/chunk over all
+            # levels) no longer exists on this path.
             flow = update_flow_fused_cf(
-                mp, hk_s, wk_s, params.winsize, params.gaussian_win,
-                interpret=interpret
+                m, hk_s, wk_s, params.winsize, params.gaussian_win,
+                halo=(_TH, tw_k), interpret=interpret
             )
         if act is not None:
             # Re-embed the refined subgrid into the full-lattice flow

@@ -580,6 +580,7 @@ def update_matrices_banded_cf(
     tw: int = _TW,
     n_slots: int = 2,
     active: Optional[Tuple[int, int, int, int]] = None,
+    ghost: bool = False,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Channel-first banded warp + normal-equation update (Pallas).
@@ -635,15 +636,15 @@ def update_matrices_banded_cf(
 
     band_dtype = r1p.dtype
     band_h0, band_w0 = _band_dims(d_max_y, d_max_x, th, tw, band_dtype=band_dtype)
-    if active is None:
+    if active is None and not ghost:
         tps_i, tps_j = warp_tiles_per_step(
             n_i, n_j, band_h0, band_w0, th, tw, n_slots,
             band_bytes=jnp.dtype(band_dtype).itemsize,
         )
     else:
-        # ROI subgrids pin tps at the production (1, 1) operating point
-        # (the merged-step path is a measured dead end, and subgrid
-        # offsets need not be divisible by a merge factor).
+        # ROI subgrids / ghost-ring outputs pin tps at the production
+        # (1, 1) operating point (the merged-step path is a measured
+        # dead end, and the offset block maps assume 1-tile blocks).
         tps_i = tps_j = 1
     tps = tps_i * tps_j
     kernel, band_h, band_w = _make_kernel(
@@ -677,10 +678,17 @@ def update_matrices_banded_cf(
     # full-grid; flow/M/scalars are compact).  tps is (1, 1) whenever
     # active is set, so the block-unit offsets equal the tile offsets.
     oi, oj = i0 // tps_i, j0 // tps_j
+    # ghost: allocate M with a one-tile ring of UNWRITTEN blocks so the
+    # solve kernel can DMA its (8, 128)-haloed bands straight from M
+    # (update_flow_fused_cf halo=(th, tw)) — no pad_for_solve copy.
+    # The ghost holds whatever was in HBM; every ghost value a solve
+    # band can see is overwritten by its fix_borders before use.
+    og = 1 if ghost else 0
     out, clip, smin_t, rmdy, rmdx = pl.pallas_call(
         functools.partial(kernel, n_i=n_i, n_j=n_j),
         out_shape=(
-            jax.ShapeDtypeStruct((b, 5, n_i * th, n_j * tw), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (b, 5, (n_i + 2 * og) * th, (n_j + 2 * og) * tw), jnp.float32),
             jax.ShapeDtypeStruct((b, n_i, n_j), jnp.int32),
             jax.ShapeDtypeStruct((b, n_i, n_j), jnp.int32),
             jax.ShapeDtypeStruct((b, n_i, n_j), jnp.int32),
@@ -705,7 +713,7 @@ def update_matrices_banded_cf(
             out_specs=(
                 pl.BlockSpec(
                     (1, 5, th * tps_i, tw * tps_j),
-                    lambda bb, i, j, *refs: (bb, 0, i, j),
+                    lambda bb, i, j, *refs: (bb, 0, i + og, j + og),
                     memory_space=pltpu.VMEM,
                 ),
                 smem_tile_spec(),
@@ -1048,6 +1056,7 @@ def update_matrices_banded_tiles_cf(
     th: int = _TH,
     tw: int = _TW,
     active: Optional[Tuple[int, int, int, int]] = None,
+    ghost: bool = False,
     interpret: bool = False,
 ):
     """One follow-up window pass over the K tiles listed in ``sel``.
@@ -1116,10 +1125,12 @@ def update_matrices_banded_tiles_cf(
         )
 
     n_scalar = 4 + 4 * len(prev_windows)
+    og = 1 if ghost else 0
     out, clip, rmdy, rmdx = pl.pallas_call(
         functools.partial(kernel, n_i=n_i, n_j=n_j, total=k),
         out_shape=(
-            jax.ShapeDtypeStruct((b, 5, n_i * th, n_j * tw), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (b, 5, (n_i + 2 * og) * th, (n_j + 2 * og) * tw), jnp.float32),
             jax.ShapeDtypeStruct((k,), jnp.int32),
             jax.ShapeDtypeStruct((k,), jnp.int32),
             jax.ShapeDtypeStruct((k,), jnp.int32),
@@ -1130,11 +1141,13 @@ def update_matrices_banded_tiles_cf(
             in_specs=[
                 dyn_spec(5, oi=i0, oj=j0),   # r0 (full-grid)
                 dyn_spec(2),   # flow (compact)
-                dyn_spec(5),   # m1 (compact; aliased to the merged output)
+                # m1: the previous M, aliased to the merged output —
+                # with ghost=True both carry the one-tile ghost ring.
+                dyn_spec(5, oi=og, oj=og),
                 pl.BlockSpec(memory_space=pl.ANY),  # full r1, DMA'd per tile
             ],
             out_specs=(
-                dyn_spec(5),
+                dyn_spec(5, oi=og, oj=og),
                 # Whole (K,) vectors as resident SMEM blocks (TPU
                 # rejects size-1 rank-1 blocks); written at [step].
                 pl.BlockSpec((k,), lambda s, *refs: (0,), memory_space=pltpu.SMEM),
@@ -1491,12 +1504,15 @@ def _poly_kernel_factory(g, xg, xxg, igs, n: int, th: int, tw: int,
         band_dma(idx, cur).wait()
         band = band2[cur]
 
-        # Vertical pass over the full band width.
+        # Vertical pass over only the columns the horizontal pass
+        # reads ([col_off, col_off + tw + 2n]) — the full band width
+        # (tw + 256) ran ~1.3x the vertical MACs at tw = 768.
+        bs = band[:, col_off : col_off + tw + 2 * n]
         t0 = None
         t1 = None
         t2 = None
         for k in range(2 * n + 1):
-            sl = band[row_off + k : row_off + k + th, :]
+            sl = bs[row_off + k : row_off + k + th, :]
             t0 = sl * gl[k] if t0 is None else t0 + sl * gl[k]
             t1 = sl * xgl[k] if t1 is None else t1 + sl * xgl[k]
             t2 = sl * xxgl[k] if t2 is None else t2 + sl * xxgl[k]
@@ -1504,10 +1520,9 @@ def _poly_kernel_factory(g, xg, xxg, igs, n: int, th: int, tw: int,
         # Horizontal pass on the tile columns.
         b1 = b2 = b3 = b4 = b5 = b6 = None
         for k in range(2 * n + 1):
-            c = col_off + k
-            s0 = t0[:, c : c + tw]
-            s1 = t1[:, c : c + tw]
-            s2 = t2[:, c : c + tw]
+            s0 = t0[:, k : k + tw]
+            s1 = t1[:, k : k + tw]
+            s2 = t2[:, k : k + tw]
             b1 = s0 * gl[k] if b1 is None else b1 + s0 * gl[k]
             b2 = s0 * xgl[k] if b2 is None else b2 + s0 * xgl[k]
             b4 = s0 * xxgl[k] if b4 is None else b4 + s0 * xxgl[k]
@@ -1608,7 +1623,7 @@ def poly_exp_fused(
 
 
 def _flow_kernel_factory(weights, winsize: int, th: int, tw: int,
-                         n_slots: int = 2, border=None):
+                         n_slots: int = 2, border=None, dma_off=(0, 0)):
     """Box or Gaussian window sum over the 5 M planes + per-pixel solve.
 
     border: (h, w) true image extent when mp's halo is CONSTANT-ZERO
@@ -1639,7 +1654,11 @@ def _flow_kernel_factory(weights, winsize: int, th: int, tw: int,
             ti_ = rest % n_i
             bb_ = rest // n_i
             return pltpu.make_async_copy(
-                m_ref.at[bb_, :, pl.ds(ti_ * th, band_h), pl.ds(tj_ * tw, band_w)],
+                m_ref.at[
+                    bb_, :,
+                    pl.ds(ti_ * th + dma_off[0], band_h),
+                    pl.ds(tj_ * tw + dma_off[1], band_w),
+                ],
                 band2.at[slot],
                 sem2.at[slot],
             )
@@ -1716,13 +1735,17 @@ def _flow_kernel_factory(weights, winsize: int, th: int, tw: int,
         for c in range(5):
             v = None
             bc = fix_borders(band[c])
+            # The horizontal pass only reads cols [col_off, col_off +
+            # tw + winsize - 1); slicing first cuts the vertical MACs
+            # to the needed lanes (the full band_w = tw + 256 ran 1.3x
+            # the work at tw = 768).
+            bcs = bc[:, col_off : col_off + tw + winsize - 1]
             for k in range(winsize):
-                sl = bc[row_off + k : row_off + k + th, :]
+                sl = bcs[row_off + k : row_off + k + th, :]
                 v = sl * wl[k] if v is None else v + sl * wl[k]
             hsum = None
             for k in range(winsize):
-                cc = col_off + k
-                s = v[:, cc : cc + tw]
+                s = v[:, k : k + tw]
                 hsum = s * wl[k] if hsum is None else hsum + s * wl[k]
             sums.append(hsum)
 
@@ -1737,18 +1760,24 @@ def _flow_kernel_factory(weights, winsize: int, th: int, tw: int,
 def update_flow_fused_cf(
     mp: jnp.ndarray, h: int, w: int, winsize: int = 15, gaussian_win: bool = False,
     n_slots: int = 2,
+    halo: Tuple[int, int] = (8, 128),
     interpret: bool = False,
     # tile sizes are derived from mp's own grid via plane_tiles
 ) -> jnp.ndarray:
     """Channel-first fused window-average + solve.
 
-    mp: (B, 5, ht+16, wt+256) — M pre-padded with the (8, 128) aligned
-    halo (edge replicate of the true [:h, :w] grid), where ht/wt are
-    the (th, tw)-padded extents.  Returns flow (B, 2, ht, wt);
-    only [:h, :w] is meaningful, but the padding values are solves of
-    replicated normal equations — finite and representative, so the
-    output feeds update_matrices_banded_cf directly (its per-tile base
-    means tolerate them).
+    mp: (B, 5, ht + 2*halo[0], wt + 2*halo[1]) — M with an aligned halo
+    ring around the (th, tw)-padded true grid.  The classic form is
+    halo=(8, 128) from :func:`pad_for_solve` (constant-zero ring); with
+    halo=(warp_th, warp_tw) mp is the warp kernel's ghost-ring M
+    (update_matrices_banded_cf(ghost=True)) consumed DIRECTLY — no
+    inter-iteration pad copy at all.  Halo values need not be
+    meaningful: the kernel's fix_borders replicates the true border
+    rows/cols into every halo position a window sum can see.  Returns
+    flow (B, 2, ht, wt); only [:h, :w] is meaningful, but the padding
+    values are solves of replicated normal equations — finite and
+    representative, so the output feeds update_matrices_banded_cf
+    directly (its per-tile base means tolerate them).
     """
     from btcs_pnes_optical_flow_tpu.ops.farneback import _gaussian_win_kernel
 
@@ -1761,14 +1790,20 @@ def update_flow_fused_cf(
         weights = _gaussian_win_kernel(winsize)
     else:
         weights = np.full(winsize, 1.0 / winsize, dtype=np.float64)
+    gy, gx = halo
+    if gy < 8 or gy % 8 or gx < 128 or gx % 128:
+        raise ValueError(f"halo {halo} must be (8k >= 8, 128k >= 128)")
     b = mp.shape[0]
-    ht = mp.shape[-2] - 16
-    wt = mp.shape[-1] - 256
+    ht = mp.shape[-2] - 2 * gy
+    wt = mp.shape[-1] - 2 * gx
     if ht % 8 or wt % 128 or ht < h or wt < w:
-        raise ValueError(f"mp spatial dims {mp.shape[-2:]} must be (ht+16, wt+256)")
+        raise ValueError(
+            f"mp spatial dims {mp.shape[-2:]} must be (ht+{2*gy}, wt+{2*gx})"
+        )
     th, tw = plane_tiles(ht, wt, channels=5)
     kernel, band_h, band_w = _flow_kernel_factory(
-        weights, winsize, th, tw, n_slots=n_slots, border=(h, w)
+        weights, winsize, th, tw, n_slots=n_slots, border=(h, w),
+        dma_off=(gy - 8, gx - 128),
     )
     n_i = ht // th
     n_j = wt // tw

@@ -52,12 +52,16 @@ def main():
         #   s_cap 8 too tight at 384 lanes).
         # Pass-2 verdicts: warp_th=64 2.8x SLOWER (183); poly bf16 EPE
         #   6.3 px (both knobs removed — recorded in config.py).
-        ("dma slots 4", dict(warp_dma_slots=4)),
-        ("dma slots 8", dict(warp_dma_slots=8)),
-        ("dma4+reach+s3321", dict(warp_dma_slots=4,
-                                  warp_coarse_reach=(4, 8, 8),
-                                  iter_schedule=(3, 3, 2, 1))),
-        ("tw384 full-span", dict(warp_coarse_tw=384)),
+        # Round-5 pass (post glue-pad attack: the per-iteration cost
+        # structure changed, so trimmed schedules re-price).
+        ("r5 bench 3321", dict(warp_coarse_reach=(4, 8, 8),
+                               iter_schedule=(3, 3, 2, 1))),
+        ("r5 3221", dict(warp_coarse_reach=(4, 8, 8),
+                         iter_schedule=(3, 2, 2, 1))),
+        ("r5 2321", dict(warp_coarse_reach=(4, 8, 8),
+                         iter_schedule=(2, 3, 2, 1))),
+        ("r5 3311", dict(warp_coarse_reach=(4, 8, 8),
+                         iter_schedule=(3, 3, 1, 1))),
     ]
     for name, kw in cases:
         p = dataclasses.replace(FarnebackParams(), warp_precision="bf16", **kw)
