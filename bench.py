@@ -593,11 +593,23 @@ if __name__ == "__main__":
             bench_1080p()
         except Exception as e:
             print(f"# 1080p bench failed: {type(e).__name__}: {e}", file=sys.stderr)
-        # TV-L1 runs BEFORE the cohort: measured 2.21 fps when run
-        # last (post-cohort machine state) vs 11.47 alone — see the
-        # best-of-3 note in bench_tvl1.
+        # TV-L1 runs in a FRESH SUBPROCESS: the banded+resident engine
+        # measured 11.47 fps alone but 2.21-5.39 inside a long-lived
+        # bench process (accumulated TPU allocator state; the exact
+        # engine is unaffected) — best-of-3 inside the process did NOT
+        # bound it, a fresh context does.
         try:
-            bench_tvl1()
+            import subprocess
+
+            r = subprocess.run(
+                [sys.executable, "-c", "import bench; bench.bench_tvl1()"],
+                capture_output=True, text=True, timeout=1200,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            sys.stdout.write(r.stdout)
+            if r.returncode != 0:
+                print(f"# tvl1 subprocess rc={r.returncode}: {r.stderr[-300:]}",
+                      file=sys.stderr)
         except Exception as e:
             print(f"# tvl1 bench failed: {type(e).__name__}: {e}", file=sys.stderr)
         try:

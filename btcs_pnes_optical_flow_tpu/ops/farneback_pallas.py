@@ -1622,6 +1622,39 @@ def poly_exp_fused(
 # ---------------------------------------------------------------------------
 
 
+def _sliding_sum(a, win: int, out_len: int, off: int, axis: int):
+    """s[r] = sum_{k < win} a[off + r + k] along ``axis`` via a
+    shift-doubling chain: ~log2(win) full-extent adds + one add per
+    set bit of ``win``, vs win-1 adds for the naive tap loop — ~2x
+    fewer VPU passes for the 15-tap box window.  Static slices only
+    (Mosaic lane/sublane shifts)."""
+
+    def sl(x, start, length):
+        if axis == 0:
+            return x[start : start + length]
+        return x[:, start : start + length]
+
+    def ext(x):
+        return x.shape[axis]
+
+    chains = {1: a}
+    p = 1
+    while 2 * p <= win:
+        prev = chains[p]
+        chains[2 * p] = sl(prev, 0, ext(prev) - p) + sl(prev, p, ext(prev) - p)
+        p *= 2
+    acc = None
+    pos = 0
+    rem = win
+    for p in sorted(chains, reverse=True):
+        while rem >= p:
+            blk = sl(chains[p], off + pos, out_len)
+            acc = blk if acc is None else acc + blk
+            pos += p
+            rem -= p
+    return acc
+
+
 def _flow_kernel_factory(weights, winsize: int, th: int, tw: int,
                          n_slots: int = 2, border=None, dma_off=(0, 0)):
     """Box or Gaussian window sum over the 5 M planes + per-pixel solve.
@@ -1731,22 +1764,31 @@ def _flow_kernel_factory(weights, winsize: int, th: int, tw: int,
                 )
             return out
 
+        # Box windows (flags=0, the reference default) sum with the
+        # shift-doubling chain — ~2x fewer VPU passes than the tap
+        # loops; Gaussian windows keep the weighted taps.
+        uniform = all(abs(x - wl[0]) < 1e-15 for x in wl)
+        scale2 = float(wl[0] * wl[0])
         sums = []
         for c in range(5):
-            v = None
             bc = fix_borders(band[c])
             # The horizontal pass only reads cols [col_off, col_off +
             # tw + winsize - 1); slicing first cuts the vertical MACs
             # to the needed lanes (the full band_w = tw + 256 ran 1.3x
             # the work at tw = 768).
             bcs = bc[:, col_off : col_off + tw + winsize - 1]
-            for k in range(winsize):
-                sl = bcs[row_off + k : row_off + k + th, :]
-                v = sl * wl[k] if v is None else v + sl * wl[k]
-            hsum = None
-            for k in range(winsize):
-                s = v[:, k : k + tw]
-                hsum = s * wl[k] if hsum is None else hsum + s * wl[k]
+            if uniform:
+                v = _sliding_sum(bcs, winsize, th, row_off, axis=0)
+                hsum = _sliding_sum(v, winsize, tw, 0, axis=1) * scale2
+            else:
+                v = None
+                for k in range(winsize):
+                    sl = bcs[row_off + k : row_off + k + th, :]
+                    v = sl * wl[k] if v is None else v + sl * wl[k]
+                hsum = None
+                for k in range(winsize):
+                    s = v[:, k : k + tw]
+                    hsum = s * wl[k] if hsum is None else hsum + s * wl[k]
             sums.append(hsum)
 
         g11, g12, g22, h1, h2 = sums

@@ -41,7 +41,13 @@ from bench import render_clip
 H, W = 480, 640
 N_PAIRS = 256
 CHUNK = 128
-THETA = 0.17  # rad/frame for violent pairs
+# 0.17 rad (a ~43 px within-tile span) is FULLY COVERED by the
+# bucketed multi-window passes (zero residual clips, measured
+# 2026-08-21) — the ladder never fired.  0.45 rad pushes per-pixel
+# displacement past warp_base_max at the frame edges (|d| up to
+# ~170 px), which no window placement can reach: the fast path MUST
+# clip and the ladder MUST escalate.
+THETA = 0.45  # rad/frame for violent pairs
 
 
 def rotate_about_center(img: np.ndarray, theta: float) -> np.ndarray:
